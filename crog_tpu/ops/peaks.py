@@ -1,0 +1,144 @@
+"""Grasp peak detection.
+
+The reference detects grasp candidates with skimage ``peak_local_max``
+(min_distance=2, threshold_abs=0.4, num_peaks in {1, 5}) on the CPU per sample
+(utils/grasp_eval.py:289-302).  Here:
+
+  * ``peak_local_max_np`` — exact host-side equivalent (used for parity tests
+    and host-side eval paths).
+  * ``detect_grasp_peaks`` — batched jittable device version: 5x5 max-pool
+    equality + threshold + border exclusion, then top-k by quality.  Returns
+    fixed-shape arrays with a validity mask so the whole eval batch stays on
+    the TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+import jax
+import jax.numpy as jnp
+
+
+def peak_local_max_np(
+    image: np.ndarray,
+    min_distance: int = 2,
+    threshold_abs: float = 0.4,
+    num_peaks: int = 5,
+) -> np.ndarray:
+    """skimage.feature.peak_local_max equivalent (exclude_border=min_distance).
+
+    Returns [K, 2] (row, col) coordinates sorted by intensity descending.
+    """
+    size = 2 * min_distance + 1
+    image = np.asarray(image, np.float64)
+    max_filt = ndimage.maximum_filter(image, size=size, mode="constant", cval=0.0)
+    mask = (image == max_filt) & (image > threshold_abs)
+    # exclude borders
+    if min_distance > 0:
+        mask[:min_distance, :] = False
+        mask[-min_distance:, :] = False
+        mask[:, :min_distance] = False
+        mask[:, -min_distance:] = False
+    coords = np.column_stack(np.nonzero(mask))
+    if coords.shape[0] == 0:
+        return coords
+    order = np.argsort(-image[coords[:, 0], coords[:, 1]], kind="stable")
+    coords = coords[order]
+    return coords[:num_peaks]
+
+
+def detect_grasps_np(qua, sin, cos, wid, num_grasps=5, max_width=100.0):
+    """Host grasp detection (reference detect_grasps, utils/grasp_eval.py:289-302).
+
+    Returns a list of [x, y, width, 20, angle_deg] grasp rects.
+    """
+    peaks = peak_local_max_np(qua, 2, 0.4, num_grasps)
+    ang = np.arctan2(sin, cos) / 2.0
+    grasps = []
+    for r, c in peaks:
+        grasps.append(
+            [
+                float(c),
+                float(r),
+                float(wid[r, c]) * max_width,
+                20.0,
+                float(ang[r, c] / np.pi * 180.0),
+            ]
+        )
+    return grasps
+
+
+def _max_pool_same(x, k: int):
+    """[..., H, W] max pool with 'same' padding, window k x k, stride 1."""
+    pads = [(0, 0)] * (x.ndim - 2) + [(k // 2, k // 2), (k // 2, k // 2)]
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1,) * (x.ndim - 2) + (k, k),
+        window_strides=(1,) * x.ndim,
+        padding=pads,
+    )
+
+
+def detect_grasp_peaks(
+    qua: jax.Array,
+    sin: jax.Array,
+    cos: jax.Array,
+    wid: jax.Array,
+    num_peaks: int = 5,
+    min_distance: int = 2,
+    threshold_abs: float = 0.4,
+    max_width: float = 100.0,
+):
+    """Batched device grasp detection.
+
+    Args: [B, H, W] quality / sin2t / cos2t / width maps.
+    Returns (rects, valid): rects [B, K, 5] of (x, y, width_px, 20, angle_deg)
+    and valid [B, K] bool.  Peak criterion matches peak_local_max: local max of
+    a (2d+1)^2 window (ties included, consistent with equality testing),
+    strictly above threshold, borders excluded; top-K by quality.
+
+    The max-pool lowers to an XLA reduce-window on the VPU; top_k is tiny
+    (H*W -> K).  One call handles the full eval batch — this replaces the
+    reference's per-sample CPU loop.
+    """
+    b, h, w = qua.shape
+    k = 2 * min_distance + 1
+    qf = qua.astype(jnp.float32)
+    # constant(0) padding semantics of scipy maximum_filter: clamp below at 0
+    pooled = _max_pool_same(jnp.maximum(qf, 0.0), k)
+    is_peak = (qf == pooled) & (qf > threshold_abs)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (
+        (rows >= min_distance)
+        & (rows < h - min_distance)
+        & (cols >= min_distance)
+        & (cols < w - min_distance)
+    )
+    is_peak = is_peak & border
+
+    score = jnp.where(is_peak, qf, -jnp.inf).reshape(b, h * w)
+    top_vals, top_idx = jax.lax.top_k(score, num_peaks)
+    valid = jnp.isfinite(top_vals)
+    pr = top_idx // w
+    pc = top_idx % w
+
+    ang = jnp.arctan2(sin, cos) / 2.0
+    batch_idx = jnp.arange(b)[:, None]
+    ang_at = ang[batch_idx, pr, pc]
+    wid_at = wid[batch_idx, pr, pc]
+    rects = jnp.stack(
+        [
+            pc.astype(jnp.float32),
+            pr.astype(jnp.float32),
+            wid_at.astype(jnp.float32) * max_width,
+            jnp.full((b, num_peaks), 20.0, jnp.float32),
+            ang_at.astype(jnp.float32) / jnp.pi * 180.0,
+        ],
+        axis=-1,
+    )
+    return rects, valid

@@ -1,0 +1,117 @@
+"""Static-shape image resizing as matrix products.
+
+The reference leans on torch ``F.interpolate`` in five places (FPN/projector
+2x upsamples, eval bicubic upsample to input size, GT-mask nearest/bilinear
+downsample, SSG mask assembly).  On TPU we express each 1-D interpolation as a
+dense (out, in) weight matrix built at trace time, so a 2-D resize is two
+small matmuls that ride the MXU and fuse with neighbors — no gathers, no
+dynamic shapes.
+
+Weight construction matches torch's coordinate rules:
+  align_corners=True : src = dst * (in-1) / (out-1)
+  align_corners=False: src = (dst + 0.5) * in/out - 0.5   (clamped >= 0 for
+                       linear; taps clamped to the edge for cubic)
+  nearest            : src = floor(dst * in/out)
+Cubic kernel uses A = -0.75 (torch/OpenCV constant).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_CUBIC_A = -0.75
+
+
+def _cubic_kernel(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    A = _CUBIC_A
+    out = np.where(
+        x <= 1.0,
+        ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A, 0.0),
+    )
+    return out
+
+
+@lru_cache(maxsize=None)
+def interp_matrix(
+    in_size: int, out_size: int, mode: str, align_corners: bool
+) -> np.ndarray:
+    """Dense (out_size, in_size) float32 interpolation matrix."""
+    w = np.zeros((out_size, in_size), np.float64)
+    dst = np.arange(out_size, dtype=np.float64)
+    if mode == "nearest":
+        src = np.floor(dst * (in_size / out_size)).astype(np.int64)
+        src = np.clip(src, 0, in_size - 1)
+        w[np.arange(out_size), src] = 1.0
+        return w.astype(np.float32)
+
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros(out_size)
+        else:
+            src = dst * (in_size - 1) / (out_size - 1)
+    else:
+        src = (dst + 0.5) * (in_size / out_size) - 0.5
+
+    if mode == "linear":
+        if not align_corners:
+            src = np.maximum(src, 0.0)
+        x0 = np.floor(src).astype(np.int64)
+        t = src - x0
+        for dx, weight in ((0, 1.0 - t), (1, t)):
+            xi = np.clip(x0 + dx, 0, in_size - 1)
+            np.add.at(w, (np.arange(out_size), xi), weight)
+    elif mode == "cubic":
+        x0 = np.floor(src).astype(np.int64)
+        t = src - x0
+        for dx in (-1, 0, 1, 2):
+            weight = _cubic_kernel(dx - t)
+            xi = np.clip(x0 + dx, 0, in_size - 1)
+            np.add.at(w, (np.arange(out_size), xi), weight)
+    else:
+        raise ValueError(f"unknown mode {mode}")
+    return w.astype(np.float32)
+
+
+def resize2d(x, out_hw, mode: str, align_corners: bool = False):
+    """Resize an NHWC (or HWC / HW) array to ``out_hw`` with torch semantics."""
+    out_h, out_w = out_hw
+    h_axis = x.ndim - 3 if x.ndim >= 3 else 0
+    in_h = x.shape[h_axis]
+    in_w = x.shape[h_axis + 1]
+    wh = jnp.asarray(interp_matrix(in_h, out_h, mode, align_corners))
+    ww = jnp.asarray(interp_matrix(in_w, out_w, mode, align_corners))
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    # HIGHEST precision: interpolation weights must not be rounded to bf16,
+    # eval-metric parity depends on these numerics; the matrices are tiny.
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.tensordot(wh, x, axes=[[1], [h_axis]], precision=hi)  # out_h leading
+    x = jnp.moveaxis(x, 0, h_axis)
+    x = jnp.tensordot(ww, x, axes=[[1], [h_axis + 1]], precision=hi)
+    x = jnp.moveaxis(x, 0, h_axis + 1)
+    return x.astype(orig_dtype)
+
+
+def resize_bilinear(x, out_hw, align_corners: bool = False):
+    return resize2d(x, out_hw, "linear", align_corners)
+
+
+def resize_bicubic(x, out_hw, align_corners: bool = True):
+    return resize2d(x, out_hw, "cubic", align_corners)
+
+
+def resize_nearest(x, out_hw):
+    return resize2d(x, out_hw, "nearest", False)
+
+
+def upsample2x_bilinear(x, align_corners: bool = False):
+    """2x bilinear upsample of NHWC, matching torch Upsample(scale_factor=2)."""
+    h, w = x.shape[-3], x.shape[-2]
+    return resize_bilinear(x, (2 * h, 2 * w), align_corners)

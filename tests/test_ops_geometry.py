@@ -1,0 +1,138 @@
+import numpy as np
+
+from crog_tpu.ops.affine import (
+    get_affine_transform,
+    invert_affine,
+    letterbox_transform,
+    warp_affine_jax,
+    warp_affine_np,
+)
+from crog_tpu.ops.filters import gaussian_blur_jax, gaussian_blur_np
+from crog_tpu.ops.peaks import detect_grasp_peaks, detect_grasps_np, peak_local_max_np
+from crog_tpu.ops.rects import box_points, polygon_mask, rotated_rect_iou
+
+
+def test_affine_solve_and_invert():
+    src = np.array([[0, 0], [640, 0], [0, 480]], np.float32)
+    dst = np.array([[13, 58], [403, 58], [13, 350.5]], np.float32)
+    m = get_affine_transform(src, dst)
+    for s, d in zip(src, dst):
+        got = m @ np.array([s[0], s[1], 1.0])
+        np.testing.assert_allclose(got, d, atol=1e-6)
+    m_inv = invert_affine(m)
+    for s, d in zip(src, dst):
+        got = m_inv @ np.array([d[0], d[1], 1.0])
+        np.testing.assert_allclose(got, s, atol=1e-5)
+
+
+def test_letterbox_roundtrip():
+    mat, mat_inv = letterbox_transform((480, 640), (416, 416))
+    # corners of the source map inside the canvas
+    corner = mat @ np.array([640.0, 480.0, 1.0])
+    assert 0 <= corner[0] <= 416 and 0 <= corner[1] <= 416
+    # inverse undoes forward
+    p = np.array([123.0, 45.0, 1.0])
+    q = mat @ p
+    back = mat_inv @ np.array([q[0], q[1], 1.0])
+    np.testing.assert_allclose(back, p[:2], atol=1e-5)
+
+
+def test_warp_identity_and_translation():
+    img = np.arange(20 * 30, dtype=np.float32).reshape(20, 30)
+    ident = np.array([[1, 0, 0], [0, 1, 0]], np.float64)
+    out = warp_affine_np(img, ident, (30, 20), "linear")
+    np.testing.assert_allclose(out, img, atol=1e-6)
+    out_c = warp_affine_np(img, ident, (30, 20), "cubic")
+    np.testing.assert_allclose(out_c, img, atol=1e-4)
+
+    shift = np.array([[1, 0, 5], [0, 1, 0]], np.float64)
+    out = warp_affine_np(img, shift, (30, 20), "linear", border_value=-1.0)
+    np.testing.assert_allclose(out[:, 5:], img[:, :-5], atol=1e-6)
+    assert (out[:, :5] == -1.0).all()
+
+
+def test_warp_jax_matches_np():
+    rng = np.random.RandomState(1)
+    img = rng.rand(48, 64).astype(np.float32)
+    mat = np.array([[0.8, 0.05, 3.0], [-0.02, 1.1, -2.0]], np.float64)
+    inv = invert_affine(mat)
+    for interp in ("linear", "cubic"):
+        ref = warp_affine_np(img, mat, (40, 32), interp, border_value=0.0)
+        got = np.asarray(
+            warp_affine_jax(img, inv.astype(np.float32), 32, 40, interp)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_box_points_axis_aligned():
+    pts = box_points(((10.0, 20.0), (8.0, 4.0), 0.0))
+    # width 8 along x, height 4 along y, centered at (10, 20)
+    assert sorted(pts[:, 0].tolist()) == [6.0, 6.0, 14.0, 14.0]
+    assert sorted(pts[:, 1].tolist()) == [18.0, 18.0, 22.0, 22.0]
+
+
+def test_box_points_rotation_90():
+    pts0 = box_points(((0.0, 0.0), (8.0, 4.0), 0.0))
+    pts90 = box_points(((0.0, 0.0), (8.0, 4.0), 90.0))
+    # 90-degree rotation swaps extents
+    assert np.allclose(sorted(np.abs(pts90[:, 0])), sorted(np.abs(pts0[:, 1])), atol=1e-5)
+
+
+def test_polygon_mask_square():
+    mask = polygon_mask([2, 2, 6, 6], [3, 8, 8, 3], (12, 12))
+    assert mask[4, 5]
+    assert not mask[0, 0]
+    assert not mask[10, 10]
+    # area close to (6-2)*(8-3)
+    assert 12 <= mask.sum() <= 30
+
+
+def test_rotated_rect_iou_identical_and_gate():
+    r = [100.0, 100.0, 40.0, 20.0, 15.0]
+    gt = [100.0, 100.0, 40.0, 20.0, 15.0, 1.0]
+    assert rotated_rect_iou(r, gt) > 0.95
+    # angle gate: > 30 degrees apart -> 0
+    r2 = [100.0, 100.0, 40.0, 20.0, 60.0]
+    assert rotated_rect_iou(r2, gt) == 0.0
+    # disjoint
+    r3 = [300.0, 300.0, 40.0, 20.0, 15.0]
+    assert rotated_rect_iou(r3, gt) == 0.0
+
+
+def test_peak_local_max_matches_reference_semantics():
+    img = np.zeros((50, 50), np.float64)
+    img[10, 10] = 1.0
+    img[30, 40] = 0.8
+    img[11, 11] = 0.6  # suppressed: within min_distance of a larger peak
+    img[1, 1] = 0.9  # excluded border
+    img[25, 25] = 0.3  # below threshold
+    peaks = peak_local_max_np(img, min_distance=2, threshold_abs=0.4, num_peaks=5)
+    assert peaks.tolist() == [[10, 10], [30, 40]]
+
+
+def test_detect_grasp_peaks_device_matches_host():
+    rng = np.random.RandomState(3)
+    qua = (rng.rand(2, 64, 64) * 0.3).astype(np.float32)
+    qua[0, 20, 30] = 0.95
+    qua[0, 40, 10] = 0.7
+    qua[1, 5, 5] = 0.99
+    sin = rng.uniform(-1, 1, (2, 64, 64)).astype(np.float32)
+    cos = rng.uniform(-1, 1, (2, 64, 64)).astype(np.float32)
+    wid = rng.rand(2, 64, 64).astype(np.float32)
+
+    rects, valid = detect_grasp_peaks(qua, sin, cos, wid, num_peaks=5)
+    rects, valid = np.asarray(rects), np.asarray(valid)
+    for b in range(2):
+        host = detect_grasps_np(qua[b], sin[b], cos[b], wid[b], 5)
+        dev = [rects[b, i].tolist() for i in range(5) if valid[b, i]]
+        assert len(dev) == len(host)
+        for hg, dg in zip(host, dev):
+            np.testing.assert_allclose(hg, dg, rtol=1e-4, atol=1e-4)
+
+
+def test_gaussian_blur_jax_matches_scipy():
+    rng = np.random.RandomState(4)
+    img = rng.rand(33, 47).astype(np.float32)
+    ref = gaussian_blur_np(img, 2.0)
+    got = np.asarray(gaussian_blur_jax(img, 2.0))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
