@@ -1,0 +1,160 @@
+"""Host input pipeline: sampling, collation, prefetch.
+
+Replaces torch DataLoader + DistributedSampler (reference train_crog.py:165-201,
+utils/misc.py:311-340): seeded per-epoch global shuffle, per-host striding for
+multi-host runs, worker-threaded __getitem__, and background device prefetch
+so the TPU never waits on the host (double buffering).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+import jax
+
+
+def collate_crog(samples: List[Dict]) -> Dict:
+    """Stack tensors; keep ragged fields (grasps, sentences, ids) as lists
+    (reference collate_fn, utils/dataset.py:1041-1064)."""
+    batch: Dict = {}
+    stack_keys = (
+        "img", "mask", "qua", "sin", "cos", "wid", "ang", "word", "inverse",
+        "ori_size",
+    )
+    for k in stack_keys:
+        if k in samples[0]:
+            batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    for k in ("grasps", "sentence", "sent_id", "scene_id", "target", "bbox"):
+        if k in samples[0]:
+            batch[k] = [s[k] for s in samples]
+    return batch
+
+
+class EpochSampler:
+    """DistributedSampler semantics: seeded shuffle reseeded per epoch
+    (set_epoch), per-host contiguous stripes, optional drop_last."""
+
+    def __init__(
+        self,
+        num_samples: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        batch_size: int = 1,
+        num_hosts: int = 1,
+        host_id: int = 0,
+    ):
+        self.num_samples = num_samples
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = drop_last
+        self.batch_size = batch_size
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def batches(self) -> Iterable[List[int]]:
+        idx = np.arange(self.num_samples)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        idx = idx[self.host_id :: self.num_hosts]
+        n = len(idx)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for i in range(0, end, self.batch_size):
+            b = idx[i : i + self.batch_size]
+            if self.drop_last and len(b) < self.batch_size:
+                break
+            yield b.tolist()
+
+    def __len__(self):
+        n = len(np.arange(self.num_samples)[self.host_id :: self.num_hosts])
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+
+class DataLoader:
+    """Threaded loader with optional device placement + prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        collate_fn: Callable = collate_crog,
+        device_put_fn: Optional[Callable] = None,
+        prefetch: int = 2,
+        num_hosts: int = 1,
+        host_id: int = 0,
+    ):
+        self.dataset = dataset
+        self.sampler = EpochSampler(
+            len(dataset), shuffle, seed, drop_last, batch_size,
+            num_hosts, host_id,
+        )
+        self.collate_fn = collate_fn
+        self.device_put_fn = device_put_fn
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int):
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.sampler)
+
+    def _produce(self, q: queue.Queue, pool: ThreadPoolExecutor):
+        try:
+            for batch_idx in self.sampler.batches():
+                samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                batch = self.collate_fn(samples)
+                if self.device_put_fn is not None:
+                    batch = self.device_put_fn(batch)
+                q.put(batch)
+        finally:
+            q.put(None)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        t = threading.Thread(
+            target=self._produce, args=(q, pool), daemon=True
+        )
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            pool.shutdown(wait=False)
+
+
+def device_put_crog(batch: Dict, sharding=None) -> Dict:
+    """Move the dense fields of a CROG batch to device (sharded over the data
+    axis when a sharding is given); ragged host fields pass through."""
+    dense = {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, np.ndarray) and k not in ("ori_size",)
+    }
+    if sharding is not None:
+        dense = {k: jax.device_put(v, sharding) for k, v in dense.items()}
+    else:
+        dense = {k: jax.device_put(v) for k, v in dense.items()}
+    out = dict(batch)
+    out.update(dense)
+    return out

@@ -1,0 +1,173 @@
+"""OCID-VLG dataset (reference OCIDVLGDataset, utils/dataset.py:686-1064).
+
+Loads refer/<version>/{split}_expressions.json, per-item RGB + depth +
+instance mask PNGs, grasp rectangles, rasterized grasp maps, and produces the
+letterboxed/normalized model inputs plus the inverse warp matrix for eval.
+
+Image decode uses PIL (the reference used OpenCV); all warp/raster numerics
+go through crog_tpu.ops for cv2/skimage-matching behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+from crog_tpu.data.grasp_transforms import GraspTransforms
+from crog_tpu.ops.affine import letterbox_transform, warp_affine_np
+from crog_tpu.utils.tokenizer import tokenize
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+# OCID class/instance dictionaries (reference utils/OCID_sub_class_dict.py)
+# are loaded lazily from the dataset root if present; the 59 instance names
+# are required to map `target` strings to class indices.
+from crog_tpu.data.ocid_classes import CNAMES, SUBNAMES, SUB_TO_CLASS  # noqa: E402
+
+
+class OCIDVLGDataset:
+    def __init__(
+        self,
+        root_dir: str,
+        split: str,
+        input_size: int = 416,
+        word_length: int = 17,
+        with_depth: bool = True,
+        with_segm_mask: bool = True,
+        with_grasp_masks: bool = True,
+        version: str = "multiple",
+        transform_grasp: Optional[GraspTransforms] = None,
+    ):
+        self.root_dir = root_dir
+        self.split = split
+        self.refer_dir = os.path.join(root_dir, "refer", version)
+        self.split_map = {
+            "train": "train_expressions.json",
+            "val": "val_expressions.json",
+            "test": "test_expressions.json",
+            # reference test configs use 'val-test' as the test_split name
+            "val-test": "test_expressions.json",
+        }
+        self.input_size = (input_size, input_size)
+        self.word_length = word_length
+        self.with_depth = with_depth
+        self.with_segm_mask = with_segm_mask
+        self.with_grasp_masks = with_grasp_masks
+        self.transform_grasp = transform_grasp or GraspTransforms()
+        self.class_instance_names = SUBNAMES
+        self.class_names = CNAMES
+        self.instance_idx_to_class_idx = SUB_TO_CLASS
+        self._load_split()
+
+    def _load_split(self):
+        path = os.path.join(self.refer_dir, self.split_map[self.split])
+        refer_data = json.load(open(path))
+        self.items = []
+        self.sent_to_index = {}
+        for n, item in enumerate(refer_data["data"]):
+            seq_path, im_name = item["image_filename"].split(",")
+            self.items.append(
+                dict(
+                    seq_path=seq_path,
+                    im_name=im_name,
+                    scene_id=item["image_filename"],
+                    bbox=item["box"],
+                    grasps=item["grasps"],
+                    objID=item["answer"],
+                    target=item["target"],
+                    sentence=item["question"],
+                    program=item.get("program"),
+                    sent_id=item["question_index"],
+                )
+            )
+            self.sent_to_index[item["question_index"]] = n
+
+    def __len__(self):
+        return len(self.items)
+
+    # -- decode helpers (PIL replaces cv2.imread) --
+    def _rgb(self, seq_path, im_name):
+        p = os.path.join(self.root_dir, seq_path, "rgb", im_name)
+        return np.asarray(Image.open(p).convert("RGB"))
+
+    def _depth(self, seq_path, im_name):
+        p = os.path.join(self.root_dir, seq_path, "depth", im_name)
+        return np.asarray(Image.open(p)).astype(np.float32) / 1000.0
+
+    def _mask(self, seq_path, im_name):
+        p = os.path.join(
+            self.root_dir, seq_path, "seg_mask_instances_combi", im_name
+        )
+        return np.asarray(Image.open(p))
+
+    def __getitem__(self, n: int) -> Dict:
+        it = self.items[n]
+        img = self._rgb(it["seq_path"], it["im_name"])
+        target_idx = self.class_instance_names[it["target"]]
+        grasps = self.transform_grasp(
+            np.asarray(it["grasps"], np.float64), target_idx
+        )
+        msk_full = self._mask(it["seq_path"], it["im_name"])
+        msk = msk_full == it["objID"]
+
+        grasp_masks = (
+            self.transform_grasp.generate_masks(grasps)
+            if self.with_grasp_masks
+            else None
+        )
+        sample = self.preprocess(
+            img, msk, grasp_masks, it["sentence"]
+        )
+        x, y, w, h = it["bbox"]
+        sample.update(
+            grasps=grasps,
+            sentence=it["sentence"],
+            target=it["target"],
+            objID=it["objID"],
+            bbox=np.asarray([x, y, x + w, y + h]),
+            sent_id=it["sent_id"],
+            scene_id=it["scene_id"],
+        )
+        if self.with_depth:
+            sample["depth"] = self._depth(it["seq_path"], it["im_name"])
+        return sample
+
+    def preprocess(self, img, msk, grasp_masks, sentence) -> Dict:
+        """Letterbox warp + normalize (reference utils/dataset.py:843-914)."""
+        ins_mask = (msk.astype(np.float64) * 255).astype(np.uint8) if msk.max() <= 1.0 else msk
+        ori_size = img.shape[:2]
+        mat, mat_inv = letterbox_transform(ori_size, self.input_size)
+
+        border = tuple((CLIP_MEAN * 255).tolist())
+        img_w = warp_affine_np(
+            img, mat, self.input_size, "cubic", border_value=border
+        )
+        img_f = img_w.astype(np.float32) / 255.0
+        img_f = (img_f - CLIP_MEAN) / CLIP_STD
+
+        ins_w = warp_affine_np(ins_mask, mat, self.input_size, "linear")
+        out = {
+            "img": img_f,  # HWC fp32
+            "mask": ins_w.astype(np.float32) / 255.0,
+            "word": tokenize(sentence, self.word_length, True)[0],
+            "inverse": mat_inv.astype(np.float32),
+            "ori_size": np.asarray(ori_size, np.int32),
+        }
+        if grasp_masks is not None:
+            qua = warp_affine_np(grasp_masks["qua"], mat, self.input_size, "linear")
+            ang = warp_affine_np(grasp_masks["ang"], mat, self.input_size, "linear")
+            wid = warp_affine_np(grasp_masks["wid"], mat, self.input_size, "linear")
+            ang_rad = ang.astype(np.float32) * np.pi / 180.0
+            out.update(
+                qua=qua.astype(np.float32) / 255.0,
+                wid=wid.astype(np.float32) / 255.0,
+                ang=ang_rad,
+                sin=np.sin(2.0 * ang_rad),
+                cos=np.cos(2.0 * ang_rad),
+            )
+        return out

@@ -1,0 +1,85 @@
+"""Checkpoint / resume via orbax.
+
+Parity with the reference's torch.save flow (train_crog.py:245-267): each
+epoch writes ``last_model`` containing step/epoch, model params, BN stats,
+optimizer state and the best-metric scalars; improvements are additionally
+recorded as ``best_iou_model`` / ``best_jindex_model``.  Resume restores all
+of it (train_crog.py:206-226).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+LAST = "last_model"
+BEST_IOU = "best_iou_model"
+BEST_J = "best_jindex_model"
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    output_dir: str,
+    state,
+    epoch: int,
+    best_iou: float = 0.0,
+    best_jindex: float = 0.0,
+    prec: Optional[Dict[str, float]] = None,
+    name: str = LAST,
+):
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.asarray(jax.device_get(state.step)),
+        "meta": {
+            "epoch": np.asarray(epoch),
+            "best_iou": np.asarray(best_iou),
+            "best_jindex": np.asarray(best_jindex),
+            **{k: np.asarray(v) for k, v in (prec or {}).items()},
+        },
+    }
+    path = os.path.abspath(os.path.join(output_dir, name))
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, state=None) -> Dict[str, Any]:
+    """Restore a checkpoint dir.  With ``state`` given, returns a new state
+    with params/opt_state/batch_stats/step replaced (resume); otherwise the
+    raw payload (eval restore)."""
+    path = os.path.abspath(path)
+    if state is None:
+        return _checkpointer().restore(path)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.asarray(jax.device_get(state.step)),
+        "meta": None,
+    }
+    restored = _checkpointer().restore(path, item=payload)
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=int(np.asarray(restored["step"])),
+    )
+    return {"state": new_state, "meta": restored.get("meta") or {}}
+
+
+def copy_best(output_dir: str, src: str, dst: str):
+    """Record an improved checkpoint under a best-model name (the reference
+    copied the .pth file; orbax re-links the directory via save of the
+    restored payload)."""
+    payload = _checkpointer().restore(os.path.abspath(os.path.join(output_dir, src)))
+    _checkpointer().save(
+        os.path.abspath(os.path.join(output_dir, dst)), payload, force=True
+    )

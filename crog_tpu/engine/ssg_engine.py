@@ -1,0 +1,146 @@
+"""SSG train / eval engine (reference engine/ssg_engine.py:20-263).
+
+Train: one jitted step — forward, vectorized anchor matching, 8-term loss,
+grads, AdamW update, global BN stats.  The reference ran anchor matching in a
+per-image python loop on device tensors (model/ssg.py:317-321) and summed the
+loss dict in the loop body (engine/ssg_engine.py:62-64).
+
+Eval: jitted Fast-NMS post-processing + device grasp detection
+(models/ssg_eval.py), then the host-side per-object Jacquard check
+(engine/ssg_engine.py:147-166 semantics: a GT object counts as hit if ANY
+predicted instance's grasps match it).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crog_tpu.engine.crog_engine import TrainState, jacquard_index
+from crog_tpu.models.ssg_loss import ssg_losses
+from crog_tpu.utils.logging import get_logger
+from crog_tpu.utils.meters import AverageMeter, ProgressMeter
+
+_DENSE_KEYS = (
+    "img", "boxes", "labels", "obj_valid", "ins_masks", "grasp_qua",
+    "grasp_sin", "grasp_cos", "grasp_wid", "sem_mask",
+)
+
+
+def create_ssg_train_state(model, tx, example_img, rng) -> TrainState:
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng}, example_img, train=True
+    )
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    return state.replace(step=jnp.asarray(0, jnp.int32))
+
+
+def make_ssg_train_step(model, tx, anchors: np.ndarray, loss_cfg: Dict[str, Any]):
+    anchors_j = jnp.asarray(anchors)
+
+    def step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            output, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, loss_dict = ssg_losses(
+                output, batch, anchors_j, rng, **loss_cfg
+            )
+            return total, (mutated["batch_stats"], loss_dict)
+
+        (loss, (new_stats, loss_dict)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return new_state, {"loss": loss, **loss_dict}
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def wrapped(state, batch, rng):
+        dense = {k: batch[k] for k in _DENSE_KEYS if k in batch}
+        return jitted(state, dense, rng)
+
+    return wrapped
+
+
+def train_one_epoch(loader, state, train_step, epoch, args, rng):
+    logger = get_logger()
+    meters = {
+        "batch_time": AverageMeter("Batch", ":2.2f"),
+        "loss": AverageMeter("Loss", ":2.4f"),
+    }
+    progress = ProgressMeter(
+        len(loader), list(meters.values()),
+        prefix=f"SSG Training: Epoch=[{epoch}/{args.epochs}] ",
+    )
+    end = time.perf_counter()
+    metrics = None
+    for i, batch in enumerate(loader):
+        step_rng = jax.random.fold_in(rng, i)
+        state, metrics = train_step(state, batch, step_rng)
+        if (i + 1) % args.print_freq == 0:
+            m = jax.device_get(metrics)
+            meters["loss"].update(float(m["loss"]), batch["img"].shape[0])
+            meters["batch_time"].update(
+                (time.perf_counter() - end) / args.print_freq
+            )
+            logger.info(
+                progress.display(i + 1)
+                + "  "
+                + "  ".join(
+                    f"{k}={float(v):.3f}" for k, v in m.items() if k != "loss"
+                )
+            )
+            end = time.perf_counter()
+    return state, metrics
+
+
+def validate(loader, post_fn, model, variables, epoch, args, max_batches=101):
+    """Per-object J@1/J@5 over ~100 batch-1 samples (reference
+    engine/ssg_engine.py:119-180)."""
+    logger = get_logger()
+    hits = [0, 0]
+    totals = [0, 0]
+    fwd = jax.jit(lambda v, img: model.apply(v, img, train=False))
+    for i, batch in enumerate(loader):
+        output = fwd(variables, jnp.asarray(batch["img"][:1]))
+        post = post_fn(output)
+        rects = np.asarray(post["grasp_rects"])  # [K, 5, 5]
+        gvalid = np.asarray(post["grasp_valid"])
+        dvalid = np.asarray(post["det_valid"])
+        pred_instances = [
+            [rects[k, j].tolist() for j in range(rects.shape[1]) if gvalid[k, j]]
+            for k in range(rects.shape[0])
+            if dvalid[k]
+        ]
+        for gt_rects in batch["ins_grasp_rects"][0]:
+            for gi, topk in enumerate((1, 5)):
+                hit = any(
+                    jacquard_index([p[:5] for p in preds[:topk]], gt_rects)
+                    for preds in pred_instances
+                    if preds
+                )
+                hits[gi] += int(hit)
+                totals[gi] += 1
+        if i >= max_batches - 1:
+            break
+    j1 = hits[0] / max(totals[0], 1)
+    j5 = hits[1] / max(totals[1], 1)
+    logger.info(
+        f"SSG Evaluation: Epoch=[{epoch}/{args.epochs}]  "
+        f"J_index@1: {100 * j1:.2f}  J_index@5: {100 * j5:.2f}"
+    )
+    return [j1, j5]

@@ -1,0 +1,349 @@
+"""CLIP RN50 dual encoder in flax, TPU-first.
+
+Architecture parity with the reference CLIP (model/clip.py:10-456): a
+ModifiedResNet vision tower (3-conv stem, blur-pool bottlenecks, attention
+pooling returning spatial features) that emits multi-scale features
+(x2, x3, x4-pooled), and a 12-layer causal text transformer returning
+per-token features plus the projected EOT sentence embedding.
+
+TPU-first choices:
+  * NHWC layout end to end (XLA:TPU's native conv layout).
+  * bf16 compute / fp32 params via the ``dtype`` policy; LayerNorm and
+    softmax always compute fp32 (matches the reference's fp16-safe LayerNorm,
+    model/clip.py:226-231).
+  * the attention-pool positional embedding is bicubic-resized at trace time
+    (static shapes), matching model/clip.py:80-108.
+  * BatchNorm running stats live in the ``batch_stats`` collection; under a
+    sharded batch the batch statistics are global means (XLA all-reduces
+    them), which reproduces the reference's SyncBatchNorm (train_crog.py:113).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from crog_tpu.ops.attention import MultiHeadAttention, attention_core
+from crog_tpu.ops.resize import resize_bicubic
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm computed in fp32 regardless of input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x32 = x.astype(jnp.float32)
+        y = nn.LayerNorm(epsilon=self.epsilon, param_dtype=jnp.float32)(x32)
+        return y.astype(orig)
+
+
+def _bn(dtype, name=None):
+    return nn.BatchNorm(
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        use_running_average=None,  # passed per-call
+        name=name,
+    )
+
+
+def _conv(features, kernel, stride=1, padding=0, dtype=jnp.float32, name=None,
+          use_bias=False):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def avg_pool(x, k):
+    return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+class Bottleneck(nn.Module):
+    """CLIP's anti-aliased bottleneck (reference model/clip.py:10-57): all
+    convs stride 1; an avgpool follows conv2 (and prefixes the downsample
+    path) when stride > 1."""
+
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        expansion = 4
+        inplanes = x.shape[-1]
+        use_ra = not train
+        out = nn.relu(
+            _bn(self.dtype, "bn1")(
+                _conv(self.planes, 1, dtype=self.dtype, name="conv1")(x),
+                use_running_average=use_ra,
+            )
+        )
+        out = nn.relu(
+            _bn(self.dtype, "bn2")(
+                _conv(self.planes, 3, padding=1, dtype=self.dtype, name="conv2")(out),
+                use_running_average=use_ra,
+            )
+        )
+        if self.stride > 1:
+            out = avg_pool(out, self.stride)
+        out = _bn(self.dtype, "bn3")(
+            _conv(expansion * self.planes, 1, dtype=self.dtype, name="conv3")(out),
+            use_running_average=use_ra,
+        )
+        if self.stride > 1 or inplanes != expansion * self.planes:
+            identity = x
+            if self.stride > 1:
+                identity = avg_pool(identity, self.stride)
+            identity = _bn(self.dtype, "downsample_bn")(
+                _conv(
+                    expansion * self.planes, 1, dtype=self.dtype,
+                    name="downsample_conv",
+                )(identity),
+                use_running_average=use_ra,
+            )
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """Spatial attention pooling that keeps the spatial map (reference
+    model/clip.py:60-144): q=k=v = features + resized positional embedding,
+    global MHA over all positions, plus a conv+BN residual ``connect``."""
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        b, h, w, c = x.shape
+        res = _bn(self.dtype, "connect_bn")(
+            _conv(self.output_dim, 1, dtype=self.dtype, name="connect_conv")(x),
+            use_running_average=not train,
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=self.embed_dim**-0.5),
+            (self.spacial_dim**2 + 1, self.embed_dim),
+            jnp.float32,
+        )
+        # drop the cls row, bicubic-resize the grid part to (h, w)
+        grid = pos[1:].reshape(self.spacial_dim, self.spacial_dim, self.embed_dim)
+        if (h, w) != (self.spacial_dim, self.spacial_dim):
+            grid = resize_bicubic(grid, (h, w), align_corners=False)
+        tokens = x.reshape(b, h * w, c) + grid.reshape(1, h * w, c).astype(x.dtype)
+        out = MultiHeadAttention(
+            num_heads=self.num_heads,
+            out_features=self.output_dim,
+            dtype=self.dtype,
+            name="attn",
+        )(tokens, tokens, tokens)
+        out = out.reshape(b, h, w, self.output_dim)
+        return nn.relu(out + res)
+
+
+class ModifiedResNet(nn.Module):
+    """Reference model/clip.py:147-223; returns (x2, x3, x4_attnpooled)."""
+
+    layers: Sequence[int]
+    output_dim: int
+    heads: int
+    input_resolution: int = 224
+    width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_ra = not train
+        w = self.width
+        # 3-conv stem
+        x = nn.relu(
+            _bn(self.dtype, "bn1")(
+                _conv(w // 2, 3, 2, 1, self.dtype, "conv1")(x),
+                use_running_average=use_ra,
+            )
+        )
+        x = nn.relu(
+            _bn(self.dtype, "bn2")(
+                _conv(w // 2, 3, 1, 1, self.dtype, "conv2")(x),
+                use_running_average=use_ra,
+            )
+        )
+        x = nn.relu(
+            _bn(self.dtype, "bn3")(
+                _conv(w, 3, 1, 1, self.dtype, "conv3")(x),
+                use_running_average=use_ra,
+            )
+        )
+        x = avg_pool(x, 2)
+
+        def stage(x, planes, blocks, stride, name):
+            x = Bottleneck(planes, stride, self.dtype, name=f"{name}_0")(x, train)
+            for i in range(1, blocks):
+                x = Bottleneck(planes, 1, self.dtype, name=f"{name}_{i}")(x, train)
+            return x
+
+        x = stage(x, w, self.layers[0], 1, "layer1")
+        x2 = stage(x, w * 2, self.layers[1], 2, "layer2")
+        x3 = stage(x2, w * 4, self.layers[2], 2, "layer3")
+        x4 = stage(x3, w * 8, self.layers[3], 2, "layer4")
+        x4 = AttentionPool2d(
+            spacial_dim=self.input_resolution // 32,
+            embed_dim=w * 32,
+            num_heads=self.heads,
+            output_dim=self.output_dim,
+            dtype=self.dtype,
+            name="attnpool",
+        )(x4, train)
+        return x2, x3, x4
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block with QuickGELU (reference model/clip.py:239-265)."""
+
+    d_model: int
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        y = LayerNormFp32(name="ln_1")(x)
+        x = x + MultiHeadAttention(
+            num_heads=self.n_head, dtype=self.dtype, name="attn"
+        )(y, y, y, attn_mask=attn_mask)
+        y = LayerNormFp32(name="ln_2")(x)
+        y = nn.Dense(
+            self.d_model * 4, dtype=self.dtype, param_dtype=jnp.float32,
+            name="mlp_c_fc",
+        )(y)
+        y = quick_gelu(y)
+        y = nn.Dense(
+            self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+            name="mlp_c_proj",
+        )(y)
+        return x + y
+
+
+def causal_mask(length: int) -> jnp.ndarray:
+    """Additive causal mask (reference model/clip.py:424-430)."""
+    mask = jnp.full((length, length), float("-inf"), jnp.float32)
+    return jnp.triu(mask, k=1)
+
+
+class TextTransformer(nn.Module):
+    """Causal text encoder returning per-token features and the projected EOT
+    embedding (reference model/clip.py:439-456)."""
+
+    context_length: int
+    vocab_size: int
+    width: int
+    heads: int
+    layers: int
+    embed_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, text):
+        # text: [B, L] int32 token ids, zero-padded; EOT has the max id.
+        b, l = text.shape
+        tok_emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.vocab_size, self.width),
+            jnp.float32,
+        )
+        pos_emb = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=0.01),
+            (self.context_length, self.width),
+            jnp.float32,
+        )
+        x = tok_emb[text].astype(self.dtype) + pos_emb[:l].astype(self.dtype)
+        mask = causal_mask(l)
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.dtype, name=f"resblock_{i}"
+            )(x, attn_mask=mask)
+        x = LayerNormFp32(name="ln_final")(x).astype(self.dtype)
+        text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(stddev=self.width**-0.5),
+            (self.width, self.embed_dim),
+            jnp.float32,
+        )
+        eot = jnp.argmax(text, axis=-1)
+        state = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        state = state @ text_projection.astype(self.dtype)
+        return x, state
+
+
+class CLIPRN50(nn.Module):
+    """Full dual encoder.  Config fields mirror what build_model infers from a
+    torch checkpoint (reference model/clip.py:503-546)."""
+
+    embed_dim: int = 1024
+    image_resolution: int = 224
+    vision_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    vision_width: int = 64
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.visual = ModifiedResNet(
+            layers=self.vision_layers,
+            output_dim=self.embed_dim,
+            heads=self.vision_width * 32 // 64,
+            input_resolution=self.image_resolution,
+            width=self.vision_width,
+            dtype=self.dtype,
+            name="visual",
+        )
+        self.text = TextTransformer(
+            context_length=self.context_length,
+            vocab_size=self.vocab_size,
+            width=self.transformer_width,
+            heads=self.transformer_heads,
+            layers=self.transformer_layers,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="transformer",
+        )
+
+    def encode_image(self, image, train: bool = False):
+        return self.visual(image.astype(self.dtype), train)
+
+    def encode_text(self, text):
+        return self.text(text)
+
+    def __call__(self, image, text, train: bool = False):
+        vis = self.encode_image(image, train)
+        word, state = self.encode_text(text)
+        return vis, word, state

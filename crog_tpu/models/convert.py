@@ -1,0 +1,241 @@
+"""torch CLIP checkpoint -> flax parameter pytree.
+
+The reference builds its backbone by introspecting a torch.jit CLIP archive's
+state_dict and loading it non-strictly (model/clip.py:503-556, model/crog.py:20-23).
+This module reproduces that: ``infer_clip_config`` derives the architecture
+from checkpoint keys, ``convert_clip_state_dict`` lays every tensor into the
+flax param/batch_stats tree of ``crog_tpu.models.clip.CLIPRN50``.  Loading is
+deliberately non-strict in the same way: keys absent from the checkpoint keep
+their fresh initialization (``use_pretrained_clip=False`` skips loading
+entirely — ablation parity with crog_multiple_r50_wo_clip.yaml).
+
+Layout conversions: torch conv (O, I, kH, kW) -> flax (kH, kW, I, O); torch
+linear (O, I) -> flax (I, O); packed MHA in_proj (3D, D) -> separate q/k/v.
+All tensors are cast to fp32 (checkpoints store fp16).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch.jit archive or plain state-dict checkpoint as numpy."""
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu").eval()
+        sd = model.state_dict()
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+    return {
+        k: v.float().numpy()
+        for k, v in sd.items()
+        if hasattr(v, "numpy")
+    }
+
+
+def infer_clip_config(sd: Dict[str, np.ndarray]) -> Dict:
+    """Architecture hyperparameters from checkpoint keys (reference
+    model/clip.py:503-542, ResNet branch)."""
+    assert "visual.layer1.0.conv1.weight" in sd, "only ResNet CLIP supported"
+    counts = [
+        len(
+            set(
+                k.split(".")[2]
+                for k in sd
+                if k.startswith(f"visual.layer{b}")
+            )
+        )
+        for b in (1, 2, 3, 4)
+    ]
+    vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+    output_width = round(
+        (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5
+    )
+    return dict(
+        embed_dim=sd["text_projection"].shape[1],
+        image_resolution=output_width * 32,
+        vision_layers=tuple(counts),
+        vision_width=vision_width,
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=sd["ln_final.weight"].shape[0],
+        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_layers=len(
+            set(
+                k.split(".")[2]
+                for k in sd
+                if k.startswith("transformer.resblocks")
+            )
+        ),
+    )
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value, np.float32)
+
+
+def _conv_kernel(w):  # (O, I, kH, kW) -> (kH, kW, I, O)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense(params: dict, prefix: Tuple[str, ...], w, b=None):
+    _set(params, prefix + ("kernel",), np.transpose(w))
+    if b is not None:
+        _set(params, prefix + ("bias",), b)
+
+
+def convert_clip_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[dict, dict]:
+    """Returns (params, batch_stats) subtrees for CLIPRN50 (module names
+    'visual' and 'transformer')."""
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(src_prefix: str, dst: Tuple[str, ...]):
+        _set(params, dst + ("scale",), sd[f"{src_prefix}.weight"])
+        _set(params, dst + ("bias",), sd[f"{src_prefix}.bias"])
+        _set(stats, dst + ("mean",), sd[f"{src_prefix}.running_mean"])
+        _set(stats, dst + ("var",), sd[f"{src_prefix}.running_var"])
+
+    def mha(src_prefix: str, dst: Tuple[str, ...]):
+        """torch nn.MultiheadAttention (packed) or separate q/k/v linears."""
+        if f"{src_prefix}.in_proj_weight" in sd:
+            w = sd[f"{src_prefix}.in_proj_weight"]
+            b = sd[f"{src_prefix}.in_proj_bias"]
+            d = w.shape[1]
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                _dense(params, dst + (name,), w[i * d : (i + 1) * d], b[i * d : (i + 1) * d])
+        else:
+            for name in ("q_proj", "k_proj", "v_proj"):
+                _dense(
+                    params,
+                    dst + (name,),
+                    sd[f"{src_prefix}.{name}.weight"],
+                    sd.get(f"{src_prefix}.{name}.bias"),
+                )
+        out_key = (
+            f"{src_prefix}.out_proj"
+            if f"{src_prefix}.out_proj.weight" in sd
+            else f"{src_prefix}.c_proj"
+        )
+        _dense(
+            params, dst + ("out_proj",), sd[f"{out_key}.weight"],
+            sd.get(f"{out_key}.bias"),
+        )
+
+    def ln(src_prefix: str, dst: Tuple[str, ...]):
+        # LayerNormFp32 wraps an anonymous nn.LayerNorm child
+        _set(params, dst + ("LayerNorm_0", "scale"), sd[f"{src_prefix}.weight"])
+        _set(params, dst + ("LayerNorm_0", "bias"), sd[f"{src_prefix}.bias"])
+
+    # ---- vision stem ----
+    for i in (1, 2, 3):
+        _set(
+            params,
+            ("visual", f"conv{i}", "kernel"),
+            _conv_kernel(sd[f"visual.conv{i}.weight"]),
+        )
+        bn(f"visual.bn{i}", ("visual", f"bn{i}"))
+
+    # ---- residual stages ----
+    block_re = re.compile(r"visual\.layer(\d)\.(\d+)\.conv1\.weight")
+    blocks = sorted(
+        {(int(m.group(1)), int(m.group(2)))
+         for k in sd if (m := block_re.match(k))}
+    )
+    for layer, idx in blocks:
+        src = f"visual.layer{layer}.{idx}"
+        dst = ("visual", f"layer{layer}_{idx}")
+        for i in (1, 2, 3):
+            _set(
+                params,
+                dst + (f"conv{i}", "kernel"),
+                _conv_kernel(sd[f"{src}.conv{i}.weight"]),
+            )
+            bn(f"{src}.bn{i}", dst + (f"bn{i}",))
+        if f"{src}.downsample.0.weight" in sd:
+            _set(
+                params,
+                dst + ("downsample_conv", "kernel"),
+                _conv_kernel(sd[f"{src}.downsample.0.weight"]),
+            )
+            bn(f"{src}.downsample.1", dst + ("downsample_bn",))
+
+    # ---- attention pool ----
+    ap = ("visual", "attnpool")
+    _set(
+        params,
+        ap + ("positional_embedding",),
+        sd["visual.attnpool.positional_embedding"],
+    )
+    mha("visual.attnpool", ap + ("attn",))
+    _set(
+        params,
+        ap + ("connect_conv", "kernel"),
+        _conv_kernel(sd["visual.attnpool.connect.0.weight"]),
+    )
+    bn("visual.attnpool.connect.1", ap + ("connect_bn",))
+
+    # ---- text tower ----
+    tr = ("transformer",)
+    _set(params, tr + ("token_embedding",), sd["token_embedding.weight"])
+    _set(params, tr + ("positional_embedding",), sd["positional_embedding"])
+    _set(params, tr + ("text_projection",), sd["text_projection"])
+    ln("ln_final", tr + ("ln_final",))
+    n_blocks = len(
+        set(k.split(".")[2] for k in sd if k.startswith("transformer.resblocks"))
+    )
+    for i in range(n_blocks):
+        src = f"transformer.resblocks.{i}"
+        dst = tr + (f"resblock_{i}",)
+        mha(f"{src}.attn", dst + ("attn",))
+        ln(f"{src}.ln_1", dst + ("ln_1",))
+        ln(f"{src}.ln_2", dst + ("ln_2",))
+        _dense(
+            params, dst + ("mlp_c_fc",),
+            sd[f"{src}.mlp.c_fc.weight"], sd[f"{src}.mlp.c_fc.bias"],
+        )
+        _dense(
+            params, dst + ("mlp_c_proj",),
+            sd[f"{src}.mlp.c_proj.weight"], sd[f"{src}.mlp.c_proj.bias"],
+        )
+    return params, stats
+
+
+def merge_pretrained_clip(variables: dict, params: dict, stats: dict) -> dict:
+    """Non-strict merge of converted CLIP tensors into a freshly-initialized
+    CROG variable tree (backbone submodule), preserving everything else."""
+    import jax
+
+    var = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+
+    def deep_merge(dst: dict, src: dict, path=""):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                deep_merge(dst.setdefault(k, {}), v, f"{path}/{k}")
+            else:
+                if k in dst and tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: "
+                        f"{dst[k].shape} vs {v.shape}"
+                    )
+                dst[k] = v.astype(dst[k].dtype) if k in dst else v
+
+    var = jax.tree_util.tree_map(lambda x: x, var)
+    import flax
+
+    var = flax.core.unfreeze(var) if hasattr(flax.core, "unfreeze") else var
+    deep_merge(var["params"]["backbone"], params)
+    deep_merge(var.setdefault("batch_stats", {}).setdefault("backbone", {}), stats)
+    return var

@@ -1,0 +1,129 @@
+"""SSG post-processing: Fast NMS + prototype mask assembly + grasp detection
+(reference utils/grasp_eval.py:55-221), as one jitted device computation with
+fixed shapes (invalid detections carried by a validity mask instead of the
+reference's dynamic boolean indexing).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crog_tpu.ops.boxes import box_iou, crop_masks, decode
+from crog_tpu.ops.filters import gaussian_blur_jax
+from crog_tpu.ops.peaks import detect_grasp_peaks
+from crog_tpu.ops.resize import resize_bilinear
+
+NEG = -1e9
+
+
+def fast_nms(
+    scores,  # [C-1, N] class scores (background removed)
+    boxes,  # [N, 4] decoded point-form
+    ins_coef,  # [N, P]
+    grasp_coef,  # [N, 4, P] (zeros if absent)
+    top_k: int = 200,
+    iou_thre: float = 0.5,
+    max_detections: int = 100,
+):
+    """Matrix Fast-NMS (reference utils/grasp_eval.py:55-93), fixed shapes."""
+    c = scores.shape[0]
+    top_scores, idx = jax.lax.top_k(scores, top_k)  # [C-1, top_k]
+    boxes_k = boxes[idx]  # [C-1, top_k, 4]
+    iou = jax.vmap(lambda b: box_iou(b, b))(boxes_k)
+    iou = jnp.triu(iou, k=1)
+    iou_max = jnp.max(iou, axis=1)
+    keep = iou_max <= iou_thre
+
+    flat_scores = jnp.where(keep, top_scores, NEG).reshape(-1)
+    det_scores, flat_i = jax.lax.top_k(flat_scores, max_detections)
+    class_ids = flat_i // top_k  # 0-based over foreground classes
+    anchor_i = idx.reshape(-1)[flat_i]
+    return {
+        "scores": det_scores,
+        "class_ids": class_ids + 1,  # reference re-adds background offset
+        "boxes": boxes[anchor_i],
+        "ins_coef": ins_coef[anchor_i],
+        "grasp_coef": grasp_coef[anchor_i],
+        "valid": det_scores > NEG / 2,
+    }
+
+
+def make_ssg_post_processing(
+    anchors: np.ndarray,
+    num_protos: int = 32,
+    nms_score_thre: float = 0.05,
+    nms_iou_thre: float = 0.5,
+    top_k: int = 200,
+    max_detections: int = 100,
+    score_keep: float = 0.3,
+    ori_hw=(480, 640),
+    num_peaks: int = 5,
+):
+    """Returns a jitted fn(output_dict) -> detection dict for ONE image
+    (the reference is batch-1 only, utils/grasp_eval.py:99)."""
+    anchors_j = jnp.asarray(anchors)
+    ori_h, ori_w = ori_hw
+    input_size = max(ori_h, ori_w)
+
+    def post(output: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        protos = output["protos"][0]  # [ph, pw, P]
+        cls_pred = output["cls_pred"][0]  # [N, C]
+        box_pred = output["box_pred"][0]
+        ins_coef = output["ins_coef_pred"][0]
+        grasp_coef = output.get(
+            "grasp_coef_pred",
+            jnp.zeros(ins_coef.shape[:1] + (4, ins_coef.shape[-1])),
+        )
+        if grasp_coef.ndim == 4:
+            grasp_coef = grasp_coef[0] if grasp_coef.shape[0] == 1 else grasp_coef
+
+        scores = cls_pred[:, 1:].T  # [C-1, N]
+        # score threshold as masking (reference dynamic filter :123)
+        maxs = jnp.max(scores, axis=0)
+        scores = jnp.where(maxs[None, :] > nms_score_thre, scores, NEG)
+        boxes = decode(box_pred, anchors_j)
+
+        det = fast_nms(
+            scores, boxes, ins_coef, grasp_coef, top_k, nms_iou_thre,
+            max_detections,
+        )
+        det["valid"] = det["valid"] & (det["scores"] > score_keep)
+
+        # mask assembly (reference :171-194)
+        def assemble(coef, sigmoid):
+            m = jnp.einsum("hwp,kp->hwk", protos, coef)
+            if sigmoid:
+                m = jax.nn.sigmoid(m)
+            m = crop_masks(m, det["boxes"])
+            m = jnp.transpose(m, (2, 0, 1))  # [K, ph, pw]
+            m = resize_bilinear(
+                m[..., None], (input_size, input_size), False
+            )[..., 0]
+            return m[:, :ori_h, :ori_w]
+
+        ins_masks = assemble(det["ins_coef"], True) > 0.5
+        qua = assemble(det["grasp_coef"][:, 0, :], True)
+        sin = assemble(det["grasp_coef"][:, 1, :], False)
+        cos = assemble(det["grasp_coef"][:, 2, :], False)
+        wid = assemble(det["grasp_coef"][:, 3, :], True)
+        qua = gaussian_blur_jax(qua, 2.0)
+
+        rects5, valid5 = detect_grasp_peaks(qua, sin, cos, wid, num_peaks)
+        scale = jnp.asarray([ori_w, ori_w, ori_w, ori_w], jnp.float32)
+        return {
+            "cls": det["class_ids"],
+            "scores": det["scores"],
+            "det_valid": det["valid"],
+            "bboxes": det["boxes"] * scale[None, :],
+            "ins_masks": ins_masks,
+            "grasp_rects": rects5,
+            "grasp_valid": valid5,
+            "grasp_masks": (qua, jnp.arctan2(sin, cos) / 2.0, wid),
+        }
+
+    return jax.jit(post)

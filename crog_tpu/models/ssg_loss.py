@@ -1,0 +1,255 @@
+"""SSG training losses (reference model/ssg.py:297-529), TPU-vectorized.
+
+The reference loops per image in python (anchor match :317-321, mask losses
+:402-451, grasp losses :464-507, semantic loss :515-528).  Here every loss is
+expressed over a PADDED ground-truth layout and vmapped across the batch, so
+the whole 8-term loss is one fused XLA computation:
+
+  batch GT layout (collate pads object axis to MAX_OBJS):
+    boxes      [B, M, 4]  point-form, normalized
+    labels     [B, M]     int class ids (0 padding rows)
+    obj_valid  [B, M]     bool
+    ins_masks  [B, M, S, S]
+    grasp_masks{qua,sin,cos,wid} [B, M, S, S]
+    sem_mask   [B, S, S]
+
+Positive-anchor subsampling (masks_to_train, reference :416-421) becomes a
+top-k over randomly-prioritized positives — fixed K shapes, no dynamic
+gather sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from crog_tpu.ops.boxes import crop_masks, match
+from crog_tpu.ops.resize import resize_bilinear
+
+
+def smooth_l1_sum(pred, target):
+    d = jnp.abs(pred - target)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def category_loss(class_logits, conf_gt, pos, np_ratio: int = 3):
+    """Softmax CE with 3:1 hard-negative mining (reference :354-382).
+
+    class_logits [B, N, C]; conf_gt [B, N] (-1 neutral, 0 bg, >0 class);
+    pos [B, N] bool.
+    """
+    b, n, c = class_logits.shape
+    logits = class_logits.astype(jnp.float32)
+    # OHEM score: logsumexp - background logit
+    mark = jax.nn.logsumexp(logits, axis=-1) - logits[..., 0]
+    mark = jnp.where(pos | (conf_gt < 0), 0.0, mark)
+
+    # rank negatives by mark descending
+    order = jnp.argsort(-mark, axis=1)
+    ranks = jnp.argsort(order, axis=1)
+    num_pos = jnp.sum(pos, axis=1, keepdims=True)
+    num_neg = jnp.clip(np_ratio * num_pos, None, n - 1)
+    neg = (ranks < num_neg) & ~pos & (conf_gt >= 0)
+
+    sel = pos | neg
+    labels = jnp.clip(conf_gt, 0, c - 1)
+    ce = -jax.nn.log_softmax(logits, axis=-1)
+    ce = jnp.take_along_axis(ce, labels[..., None], axis=-1)[..., 0]
+    loss = jnp.sum(jnp.where(sel, ce, 0.0))
+    return loss / jnp.maximum(jnp.sum(num_pos), 1)
+
+
+def box_loss(box_pred, offsets, pos):
+    """Smooth-L1 on positive anchors (reference :385-390)."""
+    per = jnp.sum(smooth_l1_sum(box_pred, offsets), axis=-1)
+    loss = jnp.sum(jnp.where(pos, per, 0.0))
+    return loss / jnp.maximum(jnp.sum(pos), 1)
+
+
+def _select_positives(pos, rng, k: int):
+    """Choose up to k positive anchors per image, random when over-full
+    (reference masks_to_train subsample :415-421).  Returns (idx [B,k],
+    sel_valid [B,k], old_num_pos [B], num_pos [B])."""
+    b, n = pos.shape
+    priority = jax.random.uniform(rng, (b, n))
+    score = jnp.where(pos, priority, -1.0)
+    top_vals, top_idx = jax.lax.top_k(score, k)
+    sel_valid = top_vals >= 0.0
+    old_num_pos = jnp.sum(pos, axis=1)
+    num_pos = jnp.sum(sel_valid, axis=1)
+    return top_idx, sel_valid, old_num_pos, num_pos
+
+
+def lincomb_mask_loss(
+    ins_coef, protos, ins_masks_gt, pos, anchor_max_i, anchor_max_gt,
+    sel_idx, sel_valid, old_num_pos, num_pos,
+):
+    """Prototype-combination instance mask loss (reference :394-451):
+    sigmoid(protos @ coef) cropped to the matched GT box, BCE normalized by
+    box area."""
+    b = ins_coef.shape[0]
+    ph, pw = protos.shape[1:3]
+
+    def per_image(coefs, protos_i, gt_masks, a_i, a_box, idx, valid, old_n, n_p):
+        # gt masks downsampled to proto res, binarized (reference :403-406)
+        ds = resize_bilinear(
+            gt_masks[..., None].astype(jnp.float32), (ph, pw), False
+        )[..., 0]
+        ds = (ds > 0.5).astype(jnp.float32)  # [M, ph, pw]
+        k = idx.shape[0]
+        sel_coef = coefs[idx]                  # [k, 32]
+        sel_gt_i = a_i[idx]                    # [k] -> GT index
+        sel_box = a_box[idx]                   # [k, 4]
+        mask_p = jax.nn.sigmoid(
+            jnp.einsum("hwc,kc->hwk", protos_i, sel_coef)
+        )
+        mask_p = crop_masks(mask_p, sel_box)
+        gt = jnp.transpose(ds[sel_gt_i], (1, 2, 0))  # [ph, pw, k]
+        mp = jnp.clip(mask_p, 0.0, 1.0)
+        bce = -(gt * jnp.log(jnp.clip(mp, 1e-7)) +
+                (1 - gt) * jnp.log(jnp.clip(1 - mp, 1e-7)))
+        area = (sel_box[:, 2] - sel_box[:, 0]) * (sel_box[:, 3] - sel_box[:, 1])
+        per_anchor = jnp.sum(bce, axis=(0, 1)) / jnp.maximum(area, 1e-6)
+        per_anchor = jnp.where(valid, per_anchor, 0.0)
+        scale = jnp.where(
+            old_n > n_p, old_n / jnp.maximum(n_p, 1), 1.0
+        )
+        return jnp.sum(per_anchor) * scale
+
+    losses = jax.vmap(per_image)(
+        ins_coef, protos, ins_masks_gt, anchor_max_i, anchor_max_gt,
+        sel_idx, sel_valid, old_num_pos, num_pos,
+    )
+    total_pos = jnp.maximum(jnp.sum(pos), 1)
+    return jnp.sum(losses) / ph / pw / total_pos
+
+
+def lincomb_grasp_masks_loss(
+    grasp_coef, protos, grasp_masks_gt, pos, anchor_max_i, anchor_max_gt,
+    sel_idx, sel_valid, old_num_pos, num_pos,
+):
+    """Grasp-map coefficient loss (reference :455-507): smooth-L1 on
+    sigmoid(protos @ coef) vs downsampled GT grasp maps; the cos map uses
+    ones outside the box (cos(0)=1), others zero-crop."""
+    ph, pw = protos.shape[1:3]
+    total_pos = jnp.maximum(jnp.sum(pos), 1)
+    out: Dict[str, jnp.ndarray] = {}
+    for t, key in enumerate(("qua", "sin", "cos", "wid")):
+        gt_map = grasp_masks_gt[key]
+
+        def per_image(coefs, protos_i, gts, a_i, a_box, idx, valid, old_n, n_p):
+            ds = resize_bilinear(
+                gts[..., None].astype(jnp.float32), (ph, pw), False
+            )[..., 0]
+            sel_coef = coefs[idx]
+            sel_gt_i = a_i[idx]
+            sel_box = a_box[idx]
+            mask_p = jax.nn.sigmoid(
+                jnp.einsum("hwc,kc->hwk", protos_i, sel_coef)
+            )
+            if key == "cos":
+                mask_p = crop_masks(mask_p, sel_box, outside_value=1.0)
+            else:
+                mask_p = crop_masks(mask_p, sel_box)
+            gt = jnp.transpose(ds[sel_gt_i], (1, 2, 0))
+            l = jnp.sum(smooth_l1_sum(mask_p, gt), axis=(0, 1))
+            area = (sel_box[:, 2] - sel_box[:, 0]) * (
+                sel_box[:, 3] - sel_box[:, 1]
+            )
+            l = l / jnp.maximum(area, 1e-6)
+            l = jnp.where(valid, l, 0.0)
+            scale = jnp.where(old_n > n_p, old_n / jnp.maximum(n_p, 1), 1.0)
+            return jnp.sum(l) * scale
+
+        losses = jax.vmap(per_image)(
+            grasp_coef[:, :, t, :], protos, gt_map, anchor_max_i,
+            anchor_max_gt, sel_idx, sel_valid, old_num_pos, num_pos,
+        )
+        out[key] = jnp.sum(losses) / ph / pw / total_pos
+    return out
+
+
+def semantic_seg_loss(seg_pred, sem_masks_gt, labels, obj_valid):
+    """Per-class max-aggregated BCE (reference :510-529).  Instead of the
+    reference's scatter loop over instances, instance masks are max-scattered
+    into a [B, C, h, w] one-hot stack."""
+    b, h, w, c = seg_pred.shape
+    ds = resize_bilinear(
+        sem_masks_gt[..., None].astype(jnp.float32), (h, w), False
+    )[..., 0]
+    ds = (ds > 0.5).astype(jnp.float32)  # [B, M, h, w]
+
+    def build_gt(masks_i, labels_i, valid_i):
+        # max over instances of each class
+        onehot = jax.nn.one_hot(labels_i, c, dtype=jnp.float32)  # [M, C]
+        onehot = onehot * valid_i[:, None]
+        return jnp.einsum("mhw,mc->chw", masks_i, onehot).clip(0.0, 1.0)
+
+    seg_gt = jax.vmap(build_gt)(ds, labels, obj_valid.astype(jnp.float32))
+    logits = jnp.transpose(seg_pred, (0, 3, 1, 2)).astype(jnp.float32)
+    bce = (
+        jnp.maximum(logits, 0) - logits * seg_gt
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    return jnp.sum(bce) / h / w / b
+
+
+def ssg_losses(
+    output: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    anchors: jnp.ndarray,
+    rng,
+    pos_iou_thre: float = 0.5,
+    neg_iou_thre: float = 0.4,
+    masks_to_train: int = 100,
+    alpha_conf: float = 1.0,
+    alpha_bbox: float = 1.5,
+    alpha_ins: float = 6.126,
+    alpha_sem: float = 1.0,
+    alpha_grasp: float = 6.125,
+    with_grasp_masks: bool = True,
+):
+    """Full 8-term loss dict (reference compute_loss :297-352)."""
+    boxes = batch["boxes"]
+    labels = batch["labels"]
+    obj_valid = batch["obj_valid"]
+
+    offsets, conf_gt, anchor_max_gt, anchor_max_i = jax.vmap(
+        lambda bx, v, lb: match(
+            bx, v, lb, anchors, pos_iou_thre, neg_iou_thre
+        )
+    )(boxes, obj_valid, labels)
+    pos = conf_gt > 0
+
+    sel_idx, sel_valid, old_np, num_np = _select_positives(
+        pos, rng, masks_to_train
+    )
+
+    loss = {
+        "loss_cls": alpha_conf
+        * category_loss(output["cls_logits"], conf_gt, pos),
+        "loss_box": alpha_bbox * box_loss(output["box_pred"], offsets, pos),
+        "loss_ins": alpha_ins
+        * lincomb_mask_loss(
+            output["ins_coef_pred"], output["protos"], batch["ins_masks"],
+            pos, anchor_max_i, anchor_max_gt, sel_idx, sel_valid, old_np,
+            num_np,
+        ),
+        "loss_sem": alpha_sem
+        * semantic_seg_loss(
+            output["seg_pred"], batch["ins_masks"], labels, obj_valid
+        ),
+    }
+    if with_grasp_masks:
+        g = lincomb_grasp_masks_loss(
+            output["grasp_coef_pred"], output["protos"],
+            {k: batch[f"grasp_{k}"] for k in ("qua", "sin", "cos", "wid")},
+            pos, anchor_max_i, anchor_max_gt, sel_idx, sel_valid, old_np,
+            num_np,
+        )
+        for k in ("qua", "sin", "cos", "wid"):
+            loss[f"loss_{k}"] = alpha_grasp * g[k]
+    total = sum(loss.values())
+    return total, loss

@@ -84,7 +84,7 @@ def rects_to_points(rects: np.ndarray) -> list:
     for rect in np.asarray(rects):
         cx, cy, w, h, theta = rect[:5]
         box = box_points(((cx, cy), (w, h), -(theta + 180.0)))
-        boxes.append(np.round(box).astype(np.int64))
+        boxes.append(box.astype(np.int64))
     return boxes
 
 
@@ -100,7 +100,7 @@ def rotated_rect_iou(rect_p, rect_gt, shape=(480, 640), angle_threshold=30.0):
 
     def rect_pixels(rect):
         cx, cy, w, h, theta = rect[:5]
-        box = np.round(box_points(((cx, cy), (w, h), -theta))).astype(np.int64)
+        box = box_points(((cx, cy), (w, h), -theta)).astype(np.int64)
         # reference passes x-coords as the first polygon axis, then clips
         rr, cc = polygon_indices(box[:, 0], box[:, 1], shape)
         keep = (rr < shape[1]) & (cc < shape[0])

@@ -99,6 +99,18 @@ def resize2d(x, out_hw, mode: str, align_corners: bool = False):
     return x.astype(orig_dtype)
 
 
+def resize_np(x: np.ndarray, out_hw, mode: str = "linear", align_corners=False):
+    """Host-side resize with the same weight matrices (replaces cv2.resize,
+    whose default INTER_LINEAR matches align_corners=False semantics).
+    x: [H, W] or [H, W, C] numpy."""
+    out_h, out_w = out_hw
+    wh = interp_matrix(x.shape[0], out_h, mode, align_corners)
+    ww = interp_matrix(x.shape[1], out_w, mode, align_corners)
+    y = np.tensordot(wh, x.astype(np.float64), axes=[[1], [0]])
+    y = np.tensordot(ww, y, axes=[[1], [1]])
+    return np.swapaxes(y, 0, 1).astype(np.float32)
+
+
 def resize_bilinear(x, out_hw, align_corners: bool = False):
     return resize2d(x, out_hw, "linear", align_corners)
 

@@ -1,0 +1,88 @@
+"""Inference latency / parameter-count / memory benchmark.
+
+Parity target: reference tools/latency.py:40-76 (which is broken as shipped —
+it imports a nonexistent ``build_segmenter``; SURVEY.md section 2.4).  This
+version works: 500 forward passes of a dummy 1x416x416x3 image + word ids,
+first 100 discarded as warmup, honest timing via block_until_ready.
+
+Usage: python tools/latency.py --config config/OCID-VLG/crog_multiple_r50.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def count_parameters(params) -> int:
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from crog_tpu.config import load_cfg_from_cfg_file, merge_cfg_from_list
+    from crog_tpu.models.crog import build_crog
+
+    parser = argparse.ArgumentParser(description="CROG inference latency")
+    parser.add_argument(
+        "--config", default="config/OCID-VLG/crog_multiple_r50.yaml"
+    )
+    parser.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
+    a = parser.parse_args()
+    cfg = load_cfg_from_cfg_file(a.config)
+    if a.opts:
+        cfg = merge_cfg_from_list(cfg, a.opts)
+
+    model, _ = build_crog(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(
+        rng.randn(1, cfg.input_size, cfg.input_size, 3).astype(np.float32)
+    )
+    word = jnp.asarray(
+        rng.randint(0, 4096, (1, cfg.word_len)).astype(np.int32)
+    )
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, img, word, train=False
+    )
+    fwd = jax.jit(lambda v, i, w: model.apply(v, i, w, train=False))
+
+    total = 500
+    warmup = 100
+    t0 = None
+    for i in range(total):
+        out = fwd(variables, img, word)
+        out.block_until_ready()
+        if i + 1 == warmup:
+            t0 = time.perf_counter()
+    elapsed = time.perf_counter() - t0
+    timed = total - warmup
+    params_m = count_parameters(variables["params"]) * 1e-6
+
+    mem_gb = float("nan")
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            mem_gb = stats["peak_bytes_in_use"] / 1.073742e9
+    except Exception:
+        pass
+
+    print("#########################################")
+    print(f"Average Parameters : {params_m:.2f} M")
+    print(f"Average FPS: {timed / elapsed:.2f}")
+    print(f"Average Latency: {1000 * elapsed / timed:.2f} ms")
+    print(f"Peak Device Memory: {mem_gb:.2f} GB")
+    print("#########################################")
+
+
+if __name__ == "__main__":
+    main()

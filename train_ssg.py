@@ -1,0 +1,196 @@
+"""SSG training entry point (parity target: reference train_ssg.py).
+
+Single process drives all TPU chips via one data-parallel mesh (the reference
+spawned NCCL DDP workers, train_ssg.py:60-130).  AdamW + MultiStepLR,
+rank-0-style validation every ``val_freq`` epochs with Fast-NMS
+post-processing on device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crog_tpu.config import load_cfg_from_cfg_file, merge_cfg_from_list
+from crog_tpu.data.loader import DataLoader
+from crog_tpu.data.ocid_grasp import OCIDGraspDataset, collate_ssg
+from crog_tpu.engine import checkpoint as ckpt
+from crog_tpu.engine.optim import make_optimizer
+from crog_tpu.engine.ssg_engine import (
+    create_ssg_train_state,
+    make_ssg_train_step,
+    train_one_epoch,
+    validate,
+)
+from crog_tpu.models.ssg import build_ssg
+from crog_tpu.models.ssg_eval import make_ssg_post_processing
+from crog_tpu.parallel.mesh import data_sharding, get_mesh, replicate
+from crog_tpu.utils.logging import get_logger, setup_logger
+from crog_tpu.utils.seed import set_random_seed
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description="TPU-native SSG training")
+    parser.add_argument(
+        "--config", default="config/OCID-Grasp/ssg_r50.yaml", type=str
+    )
+    parser.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
+    a = parser.parse_args()
+    cfg = load_cfg_from_cfg_file(a.config)
+    if a.opts:
+        cfg = merge_cfg_from_list(cfg, a.opts)
+    return cfg
+
+
+def build_ssg_dataset(args, split: str):
+    if args.dataset == "synthetic":
+        from crog_tpu.data.synthetic_ssg import SyntheticOCIDGrasp
+
+        return SyntheticOCIDGrasp(
+            num_samples=int(args.get("synthetic_samples", 128)),
+            split=split,
+            img_size=args.img_size,
+            num_classes=args.num_classes,
+        )
+    return OCIDGraspDataset(
+        root_dir=args.root_dir,
+        split=split,
+        img_size=args.img_size,
+        depth_factor=args.depth_factor,
+        with_depth=args.with_depth,
+        with_grasp_masks=args.with_grasp_masks,
+    )
+
+
+def main():
+    args = get_parser()
+    setup_logger(
+        os.path.join(args.output_folder, args.exp_name), filename="train.log"
+    )
+    logger = get_logger()
+    rng = set_random_seed(args.manual_seed)
+    mesh = get_mesh()
+    logger.info(f"Devices: {jax.device_count()}")
+    logger.info(str(args))
+
+    model, _ = build_ssg(args)
+    anchors = model.anchors()
+    train_ds = build_ssg_dataset(args, args.train_split)
+    val_ds = build_ssg_dataset(args, args.val_split)
+
+    sharding = data_sharding(mesh)
+    collate = partial(collate_ssg, max_objs=int(args.get("max_objs", 24)))
+
+    def put(batch):
+        out = dict(batch)
+        for k in (
+            "img", "boxes", "labels", "obj_valid", "ins_masks", "grasp_qua",
+            "grasp_sin", "grasp_cos", "grasp_wid", "sem_mask",
+        ):
+            out[k] = jax.device_put(batch[k], sharding)
+        return out
+
+    train_loader = DataLoader(
+        train_ds, batch_size=args.batch_size, shuffle=True, drop_last=True,
+        seed=args.manual_seed, num_workers=args.get("workers", 4),
+        collate_fn=collate, device_put_fn=put,
+    )
+    val_loader = DataLoader(
+        val_ds, batch_size=1, shuffle=False,
+        num_workers=args.get("workers_val", 2), collate_fn=collate,
+    )
+
+    example = next(iter(train_loader))
+    params_shape = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, example["img"], train=True
+        )
+    )
+    tx = make_optimizer(
+        params_shape["params"],
+        base_lr=args.base_lr,
+        lr_multi=1.0,
+        milestones=args.milestones,
+        lr_decay=args.lr_decay,
+        steps_per_epoch=len(train_loader),
+        weight_decay=args.weight_decay,
+        max_norm=args.max_norm,
+        optimizer="adamw",
+    )
+    state = create_ssg_train_state(model, tx, example["img"], rng)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+
+    start_epoch = args.start_epoch
+    resume = args.get("resume")
+    if resume and os.path.exists(resume):
+        restored = ckpt.restore_checkpoint(resume, state)
+        state = restored["state"]
+        start_epoch = int(restored["meta"].get("epoch", 0))
+        logger.info(f"=> resumed from '{resume}' (epoch {start_epoch})")
+
+    loss_cfg = dict(
+        pos_iou_thre=args.pos_iou_thre,
+        neg_iou_thre=args.neg_iou_thre,
+        masks_to_train=args.masks_to_train,
+        alpha_conf=args.alpha_conf,
+        alpha_bbox=args.alpha_bbox,
+        alpha_ins=args.alpha_ins,
+        alpha_sem=args.alpha_sem,
+        alpha_grasp=args.alpha_grasp,
+        with_grasp_masks=args.with_grasp_masks,
+    )
+    train_step = make_ssg_train_step(model, tx, anchors, loss_cfg)
+    post_fn = make_ssg_post_processing(
+        anchors,
+        num_protos=args.num_protos,
+        nms_score_thre=args.nms_score_thre,
+        nms_iou_thre=args.nms_iou_thre,
+        top_k=args.top_k,
+        max_detections=args.max_detections,
+        ori_hw=(480, 640) if args.dataset != "synthetic"
+        else (args.img_size, args.img_size),
+    )
+    out_dir = os.path.join(args.output_folder, args.exp_name)
+    best_j1 = 0.0
+
+    for epoch in range(start_epoch, args.epochs):
+        epoch_rng = jax.random.fold_in(rng, epoch)
+        train_loader.set_epoch(epoch)
+        t0 = time.perf_counter()
+        state, _ = train_one_epoch(
+            train_loader, state, train_step, epoch + 1, args, epoch_rng
+        )
+        dt = time.perf_counter() - t0
+        logger.info(
+            f"Epoch {epoch + 1}: {dt:.1f}s, "
+            f"{len(train_loader) * args.batch_size / dt:.2f} samples/s"
+        )
+        if args.get("evaluate", True) and (epoch + 1) % args.val_freq == 0:
+            variables = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
+            j1, j5 = validate(
+                val_loader, post_fn, model, variables, epoch + 1, args
+            )
+            ckpt.save_checkpoint(out_dir, state, epoch + 1, best_jindex=best_j1)
+            if j1 > best_j1:
+                best_j1 = j1
+                ckpt.copy_best(out_dir, ckpt.LAST, ckpt.BEST_J)
+        else:
+            ckpt.save_checkpoint(out_dir, state, epoch + 1)
+    logger.info("* SSG training finished *")
+
+
+if __name__ == "__main__":
+    main()
