@@ -16,6 +16,7 @@ steady-state steps with block_until_ready.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -34,7 +35,8 @@ def main():
 
     n_chips = jax.device_count()
     mesh = get_mesh()
-    per_chip_batch = 24
+    # 12/chip matches the reference's per-GPU batch (global 24 over 2 GPUs)
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "12"))
     b = per_chip_batch * n_chips
 
     model = CROG(dtype=jnp.bfloat16)
@@ -82,19 +84,25 @@ def main():
     train_step = make_train_step(model, tx)
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile; device_get forces real completion (on the axon
+    # remote platform block_until_ready returns before execution finishes,
+    # so it cannot be used for timing)
     for i in range(3):
         state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
-    iters = 20
+    # steady-state wall clock over a step chain (each step consumes the
+    # previous state, so the chain serializes on device) with one final
+    # forced transfer
+    iters = 60
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = train_step(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    loss = float(jax.device_get(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss), f"non-finite training loss {loss}"
 
-    global_sps = b * iters / dt
+    global_sps = b / dt
     per_chip = global_sps / n_chips
     print(
         json.dumps(

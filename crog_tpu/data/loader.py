@@ -115,23 +115,36 @@ class DataLoader:
     def __len__(self):
         return len(self.sampler)
 
-    def _produce(self, q: queue.Queue, pool: ThreadPoolExecutor):
+    def _produce(self, q: queue.Queue, stop: threading.Event):
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
             for batch_idx in self.sampler.batches():
+                if stop.is_set():
+                    break
                 samples = list(pool.map(self.dataset.__getitem__, batch_idx))
                 batch = self.collate_fn(samples)
                 if self.device_put_fn is not None:
                     batch = self.device_put_fn(batch)
-                q.put(batch)
+                # bounded put that can be interrupted by a consumer going away
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
         finally:
-            q.put(None)
+            pool.shutdown(wait=False)
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
-        t = threading.Thread(
-            target=self._produce, args=(q, pool), daemon=True
-        )
+        stop = threading.Event()
+        t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
         t.start()
         try:
             while True:
@@ -140,7 +153,8 @@ class DataLoader:
                     break
                 yield item
         finally:
-            pool.shutdown(wait=False)
+            # consumer abandoned the iterator (e.g. a probe next(iter(...)))
+            stop.set()
 
 
 def device_put_crog(batch: Dict, sharding=None) -> Dict:

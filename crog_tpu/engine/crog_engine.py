@@ -33,10 +33,8 @@ import optax
 from flax.training import train_state
 
 from crog_tpu.models.crog import crog_losses
-from crog_tpu.ops.affine import warp_affine_jax
 from crog_tpu.ops.peaks import detect_grasp_peaks
 from crog_tpu.ops.rects import rotated_rect_iou
-from crog_tpu.ops.resize import resize_bicubic
 from crog_tpu.utils.logging import get_logger
 from crog_tpu.utils.meters import AverageMeter, ProgressMeter
 
@@ -75,7 +73,7 @@ def train_metrics(pred_logits, target_mask, threshold=0.35, pr_iou=0.5):
 
 
 _TRAIN_KEYS = ("img", "word", "mask", "qua", "sin", "cos", "wid")
-_EVAL_KEYS = ("img", "word", "mask", "inverse")
+_EVAL_KEYS = ("img", "word", "mask")
 
 
 def make_train_step(model, tx, use_grasp_masks: bool = True):
@@ -142,6 +140,31 @@ def make_eval_step(
     with cv2/skimage on host, engine/crog_engine.py:214-261).
     """
     oh, ow = ori_hw
+    # The letterbox inverse is a pure scale+translate affine (reference
+    # utils/dataset.py:825-840), hence SEPARABLE: the whole eval resample
+    # chain — bicubic 4x upsample (align_corners=True, reference :187-211)
+    # composed with the cv2-style inverse warp to original resolution
+    # (reference :233-244) — collapses to ONE row matrix and ONE column
+    # matrix applied to the raw 104x104 predictions.  Two small matmuls on
+    # the MXU replace a 16-tap gather per pixel.
+    from crog_tpu.ops.affine import letterbox_transform
+    from crog_tpu.ops.resize import (
+        affine_axis_matrix,
+        interp_matrix,
+        separable_affine_warp,
+    )
+
+    mat, _ = letterbox_transform((oh, ow), (input_size, input_size))
+    pred_size = input_size // 4
+    up = interp_matrix(pred_size, input_size, "cubic", True).astype(np.float64)
+    w_row_warp = affine_axis_matrix(
+        input_size, oh, mat[1, 1], mat[1, 2], "cubic"
+    ).astype(np.float64)
+    w_col_warp = affine_axis_matrix(
+        input_size, ow, mat[0, 0], mat[0, 2], "cubic"
+    ).astype(np.float64)
+    w_row = (w_row_warp @ up).astype(np.float32)  # [oh, pred]
+    w_col = (w_col_warp @ up).astype(np.float32)  # [ow, pred]
 
     def step(variables, batch):
         img = batch["img"]
@@ -154,26 +177,15 @@ def make_eval_step(
         wid_p = jax.nn.sigmoid(preds[..., 4].astype(jnp.float32))
 
         stack = jnp.stack([mask_p, qua_p, sin_p, cos_p, wid_p], axis=1)
-        # bicubic, align_corners=True (reference :187-211)
-        stack = resize_bicubic(stack[..., None], (input_size, input_size), True)[
-            ..., 0
-        ]
-        # batched inverse warp to the original resolution (reference :233-244)
-        inv = batch["inverse"]  # [B, 2, 3]
-        warp = jax.vmap(
-            jax.vmap(
-                lambda m, mat: warp_affine_jax(m, mat, oh, ow, "cubic"),
-                in_axes=(0, None),
-            ),
-            in_axes=(0, 0),
-        )
-        warped = warp(stack, inv)  # [B, 5, oh, ow]
+        warped = separable_affine_warp(stack, w_row, w_col)  # [B, 5, oh, ow]
         mask_w, qua_w, sin_w, cos_w, wid_w = (
             warped[:, 0], warped[:, 1], warped[:, 2], warped[:, 3], warped[:, 4]
         )
 
-        tgt = jnp.stack([batch["mask"]], axis=1).astype(jnp.float32)
-        tgt_w = warp(tgt, inv)[:, 0]
+        tgt_w = separable_affine_warp(
+            batch["mask"].astype(jnp.float32), w_row_warp.astype(np.float32),
+            w_col_warp.astype(np.float32),
+        )
 
         pred_bin = mask_w > mask_threshold
         tgt_bin = tgt_w != 0.0  # np.logical_and float semantics (ref :247)

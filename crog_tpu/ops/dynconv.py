@@ -2,51 +2,47 @@
 
 The reference's projector convolves all task maps with a language-conditioned
 3x3 kernel generated per sample, using a grouped conv with groups=batch
-(model/layers.py:95-123).  On TPU this maps to one
-``lax.conv_general_dilated`` with ``feature_group_count = tasks*batch`` —
-a single fused conv over all 5 task maps instead of 5 separate calls.
+(model/layers.py:95-123).  A grouped lax.conv would express this, but its
+BACKWARD pass lowers catastrophically on some backends (XLA-CPU reference
+loops) and fragments the MXU on TPU (group size 1 output channel).  Instead
+the k*k taps are unrolled into shifted batched contractions:
+
+    out[b,h,w,t] = sum_{ky,kx,c} x[b, h+ky-r, w+kx-r, t, c] * w[b, c, ky, kx]
+
+— k^2 einsums with a C-sized contraction (C=256): dense MXU matmuls forward
+AND backward, identical math to the grouped conv.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
 def dynamic_group_conv(
     x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, num_tasks: int
 ) -> jnp.ndarray:
-    """Apply per-sample 3x3 kernels to ``num_tasks`` channel-chunks at once.
+    """Apply per-sample kxk kernels to ``num_tasks`` channel-chunks at once.
 
     Args:
       x: [B, H, W, T*C] — task t occupies channels [t*C, (t+1)*C).
       weight: [B, C, k, k] per-sample kernels (torch layout from the text head).
       bias: [B] per-sample scalar bias.
       num_tasks: T.
-    Returns: [B, H, W, T] — map t in channel t.
+    Returns: [B, H, W, T] fp32 — map t in channel t.
     """
     b, h, w, tc = x.shape
     t = num_tasks
     c = tc // t
     k = weight.shape[-1]
-    # lhs: (1, H, W, T*B*C) grouped as (task, batch) blocks
-    lhs = (
-        x.reshape(b, h, w, t, c)
-        .transpose(3, 0, 4, 1, 2)  # (T, B, C, H, W)
-        .reshape(1, t * b * c, h, w)
-        .transpose(0, 2, 3, 1)  # NHWC
-    )
-    # rhs: HWIO = (k, k, C, T*B); out channel (t*B + b) uses group (t, b)
-    rhs = jnp.tile(weight.transpose(2, 3, 1, 0)[:, :, :, None, :], (1, 1, 1, t, 1))
-    rhs = rhs.reshape(k, k, c, t * b)
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs.astype(lhs.dtype),
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=t * b,
-    )
-    out = out + jnp.tile(bias, (t,)).astype(out.dtype)
-    # (1, H, W, T*B) -> (B, H, W, T)
-    return out[0].reshape(h, w, t, b).transpose(3, 0, 1, 2)
+    r = k // 2
+    xr = x.reshape(b, h, w, t, c).astype(jnp.float32)
+    xp = jnp.pad(xr, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)))
+    wf = weight.astype(jnp.float32)
+    out = jnp.zeros((b, h, w, t), jnp.float32)
+    for ky in range(k):
+        for kx in range(k):
+            patch = xp[:, ky : ky + h, kx : kx + w]
+            out = out + jnp.einsum(
+                "bhwtc,bc->bhwt", patch, wf[:, :, ky, kx]
+            )
+    return out + bias.astype(jnp.float32)[:, None, None, None]

@@ -99,6 +99,49 @@ def resize2d(x, out_hw, mode: str, align_corners: bool = False):
     return x.astype(orig_dtype)
 
 
+@lru_cache(maxsize=None)
+def affine_axis_matrix(
+    in_size: int, out_size: int, scale: float, offset: float, mode: str = "cubic"
+) -> np.ndarray:
+    """(out_size, in_size) matrix sampling ``src = scale*dst + offset`` with
+    constant-0 border (out-of-range taps get zero weight).
+
+    An axis-aligned affine warp (the letterbox / its inverse — pure scale +
+    translate, reference utils/dataset.py:825-840) is separable, so the
+    whole cv2.warpAffine becomes two small matmuls on the MXU instead of a
+    16-tap gather: warped = Wrow @ img @ Wcol^T.
+    """
+    w = np.zeros((out_size, in_size), np.float64)
+    dst = np.arange(out_size, dtype=np.float64)
+    src = scale * dst + offset
+    x0 = np.floor(src).astype(np.int64)
+    t = src - x0
+    if mode == "cubic":
+        taps = [(dx, _cubic_kernel(dx - t)) for dx in (-1, 0, 1, 2)]
+    elif mode == "linear":
+        taps = [(0, 1.0 - t), (1, t)]
+    else:
+        raise ValueError(mode)
+    for dx, weight in taps:
+        xi = x0 + dx
+        ok = (xi >= 0) & (xi < in_size)
+        np.add.at(
+            w,
+            (np.arange(out_size)[ok], xi[ok]),
+            np.broadcast_to(weight, (out_size,))[ok],
+        )
+    return w.astype(np.float32)
+
+
+def separable_affine_warp(x, wrow: np.ndarray, wcol: np.ndarray):
+    """Apply precomputed per-axis warp matrices to [..., H, W]."""
+    hi = jax.lax.Precision.HIGHEST
+    wr = jnp.asarray(wrow)
+    wc = jnp.asarray(wcol)
+    y = jnp.einsum("oh,...hw->...ow", wr, x.astype(jnp.float32), precision=hi)
+    return jnp.einsum("pw,...ow->...op", wc, y, precision=hi)
+
+
 def resize_np(x: np.ndarray, out_hw, mode: str = "linear", align_corners=False):
     """Host-side resize with the same weight matrices (replaces cv2.resize,
     whose default INTER_LINEAR matches align_corners=False semantics).

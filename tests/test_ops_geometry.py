@@ -130,6 +130,22 @@ def test_detect_grasp_peaks_device_matches_host():
             np.testing.assert_allclose(hg, dg, rtol=1e-4, atol=1e-4)
 
 
+def test_separable_affine_warp_matches_dense_warp():
+    """The matmul formulation of the (axis-aligned) letterbox inverse warp
+    must equal the dense cv2-style warp used for parity."""
+    from crog_tpu.ops.resize import affine_axis_matrix, separable_affine_warp
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(104, 104).astype(np.float32)
+    # forward letterbox for ori (120, 160) -> 104 input
+    mat, mat_inv = letterbox_transform((120, 160), (104, 104))
+    ref = warp_affine_np(img, mat_inv, (160, 120), "cubic", border_value=0.0)
+    wrow = affine_axis_matrix(104, 120, mat[1, 1], mat[1, 2], "cubic")
+    wcol = affine_axis_matrix(104, 160, mat[0, 0], mat[0, 2], "cubic")
+    got = np.asarray(separable_affine_warp(img[None], wrow, wcol))[0]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_gaussian_blur_jax_matches_scipy():
     rng = np.random.RandomState(4)
     img = rng.rand(33, 47).astype(np.float32)
