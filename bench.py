@@ -35,11 +35,15 @@ def main():
 
     n_chips = jax.device_count()
     mesh = get_mesh()
-    # 12/chip matches the reference's per-GPU batch (global 24 over 2 GPUs)
-    per_chip_batch = int(os.environ.get("BENCH_BATCH", "12"))
+    # reference trained global batch 24 on 2 GPUs; one v5e chip fits the
+    # whole global batch with the vision tower rematerialized
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "24"))
     b = per_chip_batch * n_chips
 
-    model = CROG(dtype=jnp.bfloat16)
+    model = CROG(
+        dtype=jnp.bfloat16,
+        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+    )
     rng = np.random.RandomState(0)
     batch_np = {
         "img": rng.randn(b, 416, 416, 3).astype(np.float32) * 0.5,

@@ -174,6 +174,7 @@ class ModifiedResNet(nn.Module):
     heads: int
     input_resolution: int = 224
     width: int = 64
+    remat: bool = False  # rematerialize bottlenecks: activations -> FLOPs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -201,10 +202,15 @@ class ModifiedResNet(nn.Module):
         )
         x = avg_pool(x, 2)
 
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat
+            else Bottleneck
+        )
+
         def stage(x, planes, blocks, stride, name):
-            x = Bottleneck(planes, stride, self.dtype, name=f"{name}_0")(x, train)
+            x = block_cls(planes, stride, self.dtype, name=f"{name}_0")(x, train)
             for i in range(1, blocks):
-                x = Bottleneck(planes, 1, self.dtype, name=f"{name}_{i}")(x, train)
+                x = block_cls(planes, 1, self.dtype, name=f"{name}_{i}")(x, train)
             return x
 
         x = stage(x, w, self.layers[0], 1, "layer1")
@@ -314,6 +320,7 @@ class CLIPRN50(nn.Module):
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -323,6 +330,7 @@ class CLIPRN50(nn.Module):
             heads=self.vision_width * 32 // 64,
             input_resolution=self.image_resolution,
             width=self.vision_width,
+            remat=self.remat,
             dtype=self.dtype,
             name="visual",
         )

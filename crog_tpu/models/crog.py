@@ -44,6 +44,7 @@ class CROG(nn.Module):
     use_grasp_masks: bool = True  # 5-task vs single-mask projector
     vision_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     transformer_layers: int = 12
+    remat: bool = False  # remat the vision tower for bigger per-chip batch
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -52,6 +53,7 @@ class CROG(nn.Module):
             image_resolution=224,  # RN50 checkpoint geometry; pos-emb resized
             vision_layers=self.vision_layers,
             transformer_layers=self.transformer_layers,
+            remat=self.remat,
             dtype=self.dtype,
             name="backbone",
         )
@@ -159,6 +161,7 @@ def build_crog(cfg) -> Tuple[CROG, Dict]:
         input_resolution=cfg.input_size,
         use_contrastive=cfg.use_contrastive,
         use_grasp_masks=cfg.use_grasp_masks,
+        remat=bool(cfg.get("remat", False)),
         dtype=jnp.bfloat16 if cfg.get("compute_dtype", "bfloat16") == "bfloat16"
         else jnp.float32,
     )

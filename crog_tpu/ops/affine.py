@@ -94,11 +94,19 @@ def warp_affine_np(
     interpolation: str = "linear",
     border_value=0.0,
 ) -> np.ndarray:
-    """Numpy warpAffine: ``dst(x,y) = src(M^-1 @ (x,y,1))``.
+    """Host warpAffine: ``dst(x,y) = src(M^-1 @ (x,y,1))``.
 
     ``out_size`` is (width, height) to match the cv2 call convention used by
     the reference.  ``img`` is HW or HWC.  Border handling is constant.
+    Dispatches to the native C++ kernel when built (bit-identical); the numpy
+    path below is the fallback and the reference for tests.
     """
+    if img.dtype in (np.uint8, np.float32):
+        from crog_tpu import native
+
+        out = native.warp_affine(img, mat, out_size, interpolation, border_value)
+        if out is not None:
+            return out
     out_w, out_h = out_size
     inv = invert_affine(mat)
     xs = np.arange(out_w, dtype=np.float64)

@@ -3,14 +3,19 @@
 The reference's projector convolves all task maps with a language-conditioned
 3x3 kernel generated per sample, using a grouped conv with groups=batch
 (model/layers.py:95-123).  A grouped lax.conv would express this, but its
-BACKWARD pass lowers catastrophically on some backends (XLA-CPU reference
-loops) and fragments the MXU on TPU (group size 1 output channel).  Instead
-the k*k taps are unrolled into shifted batched contractions:
+BACKWARD pass lowers catastrophically on some backends and its group size of
+one output channel fragments the MXU.
 
-    out[b,h,w,t] = sum_{ky,kx,c} x[b, h+ky-r, w+kx-r, t, c] * w[b, c, ky, kx]
+Formulation here is contraction-first: the big C-sized channel contraction
+runs ONCE over the feature map producing k*k tiny "tap maps", which are then
+shift-accumulated:
 
-— k^2 einsums with a C-sized contraction (C=256): dense MXU matmuls forward
-AND backward, identical math to the grouped conv.
+    y[b,h,w,t,k] = sum_c x[b,h,w,t,c] * wk[b,c,k]      (one MXU einsum)
+    out[b,h,w,t] = sum_k y[b, h+dy_k, w+dx_k, t, k] + bias[b]
+
+This reads the feature map once (instead of k*k shifted copies), runs the
+contraction in the compute dtype (the reference's autocast ran this conv in
+fp16) with fp32 accumulation, and differentiates as plain matmuls.
 """
 
 from __future__ import annotations
@@ -35,14 +40,19 @@ def dynamic_group_conv(
     c = tc // t
     k = weight.shape[-1]
     r = k // 2
-    xr = x.reshape(b, h, w, t, c).astype(jnp.float32)
-    xp = jnp.pad(xr, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)))
-    wf = weight.astype(jnp.float32)
+    xr = x.reshape(b, h, w, t, c)
+    wk = weight.reshape(b, c, k * k).astype(x.dtype)
+    # one big contraction -> k*k tap maps, fp32 accumulation
+    taps = jnp.einsum(
+        "bhwtc,bck->bhwtk", xr, wk, preferred_element_type=jnp.float32
+    )
+    taps = jnp.pad(taps, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)))
     out = jnp.zeros((b, h, w, t), jnp.float32)
     for ky in range(k):
         for kx in range(k):
-            patch = xp[:, ky : ky + h, kx : kx + w]
-            out = out + jnp.einsum(
-                "bhwtc,bc->bhwt", patch, wf[:, :, ky, kx]
-            )
+            # cross-correlation (torch conv semantics): tap (ky, kx)
+            # multiplies x[p + (ky-r, kx-r)] = padded tap map at p + (ky, kx)
+            out = out + taps[
+                :, ky : ky + h, kx : kx + w, :, ky * k + kx
+            ]
     return out + bias.astype(jnp.float32)[:, None, None, None]

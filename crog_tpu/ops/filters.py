@@ -17,6 +17,11 @@ import jax.numpy as jnp
 
 
 def gaussian_blur_np(img: np.ndarray, sigma: float) -> np.ndarray:
+    from crog_tpu import native
+
+    out = native.gaussian_blur(img, sigma)
+    if out is not None:
+        return out
     return ndimage.gaussian_filter(
         img.astype(np.float64), sigma=sigma, mode="nearest", truncate=4.0
     )

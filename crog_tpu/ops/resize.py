@@ -79,8 +79,16 @@ def interp_matrix(
     return w.astype(np.float32)
 
 
-def resize2d(x, out_hw, mode: str, align_corners: bool = False):
-    """Resize an NHWC (or HWC / HW) array to ``out_hw`` with torch semantics."""
+def resize2d(x, out_hw, mode: str, align_corners: bool = False,
+             exact: bool = True):
+    """Resize an NHWC (or HWC / HW) array to ``out_hw`` with torch semantics.
+
+    ``exact=True`` computes in fp32 at HIGHEST matmul precision — required
+    where eval-metric parity depends on interpolation numerics (eval
+    upsample/warp, GT downsample).  ``exact=False`` stays in the input
+    compute dtype at default precision — for model-internal feature
+    upsampling, where the reference ran the same op under fp16 autocast.
+    """
     out_h, out_w = out_hw
     h_axis = x.ndim - 3 if x.ndim >= 3 else 0
     in_h = x.shape[h_axis]
@@ -88,10 +96,13 @@ def resize2d(x, out_hw, mode: str, align_corners: bool = False):
     wh = jnp.asarray(interp_matrix(in_h, out_h, mode, align_corners))
     ww = jnp.asarray(interp_matrix(in_w, out_w, mode, align_corners))
     orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
-    # HIGHEST precision: interpolation weights must not be rounded to bf16,
-    # eval-metric parity depends on these numerics; the matrices are tiny.
-    hi = jax.lax.Precision.HIGHEST
+    if exact:
+        x = x.astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+    else:
+        wh = wh.astype(orig_dtype)
+        ww = ww.astype(orig_dtype)
+        hi = None
     x = jnp.tensordot(wh, x, axes=[[1], [h_axis]], precision=hi)  # out_h leading
     x = jnp.moveaxis(x, 0, h_axis)
     x = jnp.tensordot(ww, x, axes=[[1], [h_axis + 1]], precision=hi)
@@ -167,6 +178,10 @@ def resize_nearest(x, out_hw):
 
 
 def upsample2x_bilinear(x, align_corners: bool = False):
-    """2x bilinear upsample of NHWC, matching torch Upsample(scale_factor=2)."""
+    """2x bilinear upsample of NHWC, matching torch Upsample(scale_factor=2).
+
+    Model-internal (feature maps): computes in the incoming dtype at default
+    precision — the reference ran these upsamples under fp16 autocast.
+    """
     h, w = x.shape[-3], x.shape[-2]
-    return resize_bilinear(x, (2 * h, 2 * w), align_corners)
+    return resize2d(x, (2 * h, 2 * w), "linear", align_corners, exact=False)

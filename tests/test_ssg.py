@@ -16,7 +16,10 @@ from crog_tpu.models.ssg_eval import make_ssg_post_processing
 from crog_tpu.models.ssg_loss import ssg_losses
 from crog_tpu.ops.boxes import box_iou, decode, encode, make_anchors, match
 
-IMG = 136  # smallest multiple of 8 that keeps all 5 FPN levels distinct
+# 128: feature sizes 16/8/4 double exactly level-to-level, as the FPN's 2x
+# upsample requires (like the reference, which only supports sizes where
+# ceil(img/stride) halves cleanly, e.g. the production 544)
+IMG = 128
 
 
 @pytest.fixture(scope="module")

@@ -7,7 +7,7 @@ from crog_tpu.utils.tokenizer import get_tokenizer, tokenize
 GOLDEN = {
     "a photo of a cat": [320, 1125, 539, 320, 2368],
     "Pick up the red mug next to the cereal box.": [
-        3142, 705, 518, 736, 9722, 1131, 531, 518, 22173, 2989, 269,
+        3142, 705, 518, 736, 9722, 1131, 531, 518, 17581, 2063, 269,
     ],
     "grasp the leftmost banana": [34975, 518, 33949, 1096, 8922],
     "the   white keyboard, please!": [518, 1579, 13017, 267, 1474, 256],
