@@ -283,6 +283,56 @@ def validate_with_grasp(
     return summarize_eval(iou_list, j1_hits, j5_hits, epoch, epochs)
 
 
+def validate_without_grasp(loader, eval_step, variables, epoch=0, args=None):
+    """Mask-only eval (reference engine/crog_engine.py:289-381): same device
+    pipeline with the Jacquard check skipped (use_grasp_masks ablation)."""
+    return validate_with_grasp(
+        loader, eval_step, variables, epoch, args, with_grasps=False
+    )
+
+
+def inference_with_grasp(
+    loader,
+    eval_step,
+    variables,
+    args=None,
+    visualize: bool = False,
+    vis_dir: str = "vis",
+):
+    """Test-split inference (reference engine/crog_engine.py:386-558):
+    validate_with_grasp plus optional per-sample visualization PNGs."""
+    result = validate_with_grasp(
+        loader, eval_step, variables, 0, args,
+        with_grasps=args is None or args.get("use_grasp_masks", True),
+    )
+    if visualize:
+        import numpy as _np
+
+        from crog_tpu.utils.visualization import visualize_grasp_prediction
+
+        for bi, batch in enumerate(loader):
+            out = eval_step(variables, batch)
+            rects = _np.asarray(out["rects"])
+            valid = _np.asarray(out["rects_valid"])
+            for i in range(rects.shape[0]):
+                img = _np.asarray(batch["img"][i])
+                img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+                visualize_grasp_prediction(
+                    (img * 255).astype(_np.uint8),
+                    _np.asarray(batch["mask"][i]),
+                    (
+                        _np.asarray(batch.get("qua", batch["mask"])[i]),
+                        _np.asarray(batch.get("sin", batch["mask"])[i]),
+                        _np.asarray(batch.get("wid", batch["mask"])[i]),
+                    ),
+                    [r for k, r in enumerate(rects[i]) if valid[i, k]],
+                    batch.get("sentence", [""] * rects.shape[0])[i],
+                    save_path=f"{vis_dir}/{bi:04d}_{i:02d}.png",
+                )
+            break  # one batch of visualizations per call
+    return result
+
+
 def train_one_epoch(
     loader,
     state: TrainState,

@@ -254,6 +254,64 @@ class ResidualAttentionBlock(nn.Module):
         return x + y
 
 
+class VisionTransformer(nn.Module):
+    """CLIP ViT tower (reference model/clip.py:286-332; unused by the shipped
+    configs, provided for checkpoint-family completeness).  Returns projected
+    per-patch features (the reference's modified variant keeps all patch
+    tokens, dropping only the cls token)."""
+
+    input_resolution: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    output_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        x = nn.Conv(
+            self.width,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv1",
+        )(x.astype(self.dtype))
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, self.width)
+        scale = self.width**-0.5
+        cls_emb = self.param(
+            "class_embedding", nn.initializers.normal(scale), (self.width,),
+            jnp.float32,
+        )
+        pos_emb = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            ((self.input_resolution // self.patch_size) ** 2 + 1, self.width),
+            jnp.float32,
+        )
+        cls = jnp.broadcast_to(
+            cls_emb.astype(x.dtype)[None, None], (b, 1, self.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1) + pos_emb[: gh * gw + 1].astype(
+            x.dtype
+        )
+        x = LayerNormFp32(name="ln_pre")(x)
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.dtype, name=f"resblock_{i}"
+            )(x)
+        x = LayerNormFp32(name="ln_post")(x[:, 1:, :])
+        proj = self.param(
+            "proj", nn.initializers.normal(scale),
+            (self.width, self.output_dim), jnp.float32,
+        )
+        return x @ proj.astype(x.dtype)
+
+
 def causal_mask(length: int) -> jnp.ndarray:
     """Additive causal mask (reference model/clip.py:424-430)."""
     mask = jnp.full((length, length), float("-inf"), jnp.float32)

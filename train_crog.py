@@ -186,6 +186,11 @@ def main():
         model, input_size=args.input_size, ori_hw=(480, 640)
     )
     out_dir = os.path.join(args.output_folder, args.exp_name)
+    from crog_tpu.utils.tracking import MetricsTracker
+
+    tracker = MetricsTracker(
+        out_dir, project="crog_tpu", name=args.exp_name, config=args
+    )
 
     for epoch in range(start_epoch, args.epochs):
         epoch_rng = jax.random.fold_in(rng, epoch)
@@ -200,12 +205,25 @@ def main():
         logger.info(
             f"Epoch {epoch + 1}: {dt:.1f}s, {seen / dt:.2f} samples/s global"
         )
+        tracker.log(
+            {"train/epoch_time_s": dt, "train/samples_per_s": seen / dt},
+            step=epoch + 1,
+        )
 
         if args.get("evaluate", True):
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             result = validate_with_grasp(
                 val_loader, eval_step, variables, epoch + 1, args,
                 with_grasps=args.use_grasp_masks,
+            )
+            tracker.log(
+                {
+                    "val/iou": result["iou"],
+                    "val/j_index@1": result["j_index@1"],
+                    "val/j_index@5": result["j_index@5"],
+                    **{f"val/{k}": v for k, v in result["prec"].items()},
+                },
+                step=epoch + 1,
             )
             ckpt.save_checkpoint(
                 out_dir, state, epoch + 1, best_iou, best_jindex,
@@ -222,6 +240,7 @@ def main():
         else:
             ckpt.save_checkpoint(out_dir, state, epoch + 1, best_iou, best_jindex)
 
+    tracker.finish()
     logger.info("* Training finished *")
 
 
