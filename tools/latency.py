@@ -56,14 +56,26 @@ def main():
     )
     fwd = jax.jit(lambda v, i, w: model.apply(v, i, w, train=False))
 
+    # Each call's input depends on the previous call's output, so the chain
+    # serializes on device; one final transfer forces completion.  This
+    # excludes host<->device RPC latency (which a remote tunnel would add to
+    # every per-call sync) and measures true device latency.
+    def chained(v, img, w, prev):
+        out = model.apply(v, img + 0.0 * prev, w, train=False)
+        return out, out[0, 0, 0, 0].astype(img.dtype)
+
+    chained = jax.jit(chained)
+
     total = 500
     warmup = 100
+    prev = jnp.zeros((), img.dtype)
     t0 = None
     for i in range(total):
-        out = fwd(variables, img, word)
-        out.block_until_ready()
+        out, prev = chained(variables, img, word, prev)
         if i + 1 == warmup:
+            float(jax.device_get(prev))
             t0 = time.perf_counter()
+    float(jax.device_get(prev))
     elapsed = time.perf_counter() - t0
     timed = total - warmup
     params_m = count_parameters(variables["params"]) * 1e-6
