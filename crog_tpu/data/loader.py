@@ -115,8 +115,15 @@ class DataLoader:
     def __len__(self):
         return len(self.sampler)
 
+    def _pool(self) -> ThreadPoolExecutor:
+        # persistent worker pool across epochs (the reference needed a
+        # MultiEpochsDataLoader wrapper for this, utils/misc.py:311-340)
+        if getattr(self, "_workers", None) is None:
+            self._workers = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._workers
+
     def _produce(self, q: queue.Queue, stop: threading.Event):
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pool = self._pool()
         try:
             for batch_idx in self.sampler.batches():
                 if stop.is_set():
@@ -133,7 +140,6 @@ class DataLoader:
                     except queue.Full:
                         continue
         finally:
-            pool.shutdown(wait=False)
             while not stop.is_set():
                 try:
                     q.put(None, timeout=0.5)

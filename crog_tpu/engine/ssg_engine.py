@@ -108,6 +108,50 @@ def train_one_epoch(loader, state, train_step, epoch, args, rng):
     return state, metrics
 
 
+def visualization(loader, post_fn, model, variables, epoch, args, vis_dir="vis"):
+    """Render one random val sample per epoch (reference
+    engine/ssg_engine.py:184-263): RGB with predicted grasps + grasp maps."""
+    import random as _random
+
+    import numpy as _np
+
+    from crog_tpu.utils.visualization import visualize_grasp_prediction
+
+    idx = _random.randint(0, max(len(loader) - 1, 0))
+    fwd = jax.jit(lambda v, img: model.apply(v, img, train=False))
+    for i, batch in enumerate(loader):
+        if i < idx:
+            continue
+        output = fwd(variables, jnp.asarray(batch["img"][:1]))
+        post = post_fn(output)
+        rects = _np.asarray(post["grasp_rects"])
+        gvalid = _np.asarray(post["grasp_valid"])
+        dvalid = _np.asarray(post["det_valid"])
+        all_rects = [
+            rects[k, j]
+            for k in range(rects.shape[0])
+            if dvalid[k]
+            for j in range(rects.shape[1])
+            if gvalid[k, j]
+        ]
+        qua, ang, wid = post["grasp_masks"]
+        img = _np.asarray(batch["img"][0, :, :, :3])
+        mask = _np.asarray(post["ins_masks"]).any(axis=0)
+        return visualize_grasp_prediction(
+            (img * 255).astype(_np.uint8),
+            mask.astype(float),
+            (
+                _np.asarray(qua).max(axis=0) if qua.ndim == 3 else _np.asarray(qua),
+                _np.asarray(ang).max(axis=0) if ang.ndim == 3 else _np.asarray(ang),
+                _np.asarray(wid).max(axis=0) if wid.ndim == 3 else _np.asarray(wid),
+            ),
+            all_rects,
+            f"epoch {epoch}",
+            save_path=f"{vis_dir}/ssg_epoch{epoch:04d}.png",
+        )
+    return None
+
+
 def validate(loader, post_fn, model, variables, epoch, args, max_batches=101):
     """Per-object J@1/J@5 over ~100 batch-1 samples (reference
     engine/ssg_engine.py:119-180)."""

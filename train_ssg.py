@@ -162,6 +162,11 @@ def main():
         else (args.img_size, args.img_size),
     )
     out_dir = os.path.join(args.output_folder, args.exp_name)
+    from crog_tpu.utils.tracking import MetricsTracker
+
+    tracker = MetricsTracker(
+        out_dir, project="crog_tpu_ssg", name=args.exp_name, config=args
+    )
     best_j1 = 0.0
 
     for epoch in range(start_epoch, args.epochs):
@@ -183,12 +188,23 @@ def main():
             j1, j5 = validate(
                 val_loader, post_fn, model, variables, epoch + 1, args
             )
+            tracker.log(
+                {"val/j_index@1": j1, "val/j_index@5": j5}, step=epoch + 1
+            )
+            if args.get("visualize", False):
+                from crog_tpu.engine.ssg_engine import visualization
+
+                visualization(
+                    val_loader, post_fn, model, variables, epoch + 1, args,
+                    vis_dir=os.path.join(out_dir, "vis"),
+                )
             ckpt.save_checkpoint(out_dir, state, epoch + 1, best_jindex=best_j1)
             if j1 > best_j1:
                 best_j1 = j1
                 ckpt.copy_best(out_dir, ckpt.LAST, ckpt.BEST_J)
         else:
             ckpt.save_checkpoint(out_dir, state, epoch + 1)
+    tracker.finish()
     logger.info("* SSG training finished *")
 
 
