@@ -279,13 +279,11 @@ class MultiTaskProjector(nn.Module):
         b = weight.shape[0]
         weight = weight.reshape(b, c, self.kernel_size, self.kernel_size)
         # channel order: torch splits (B, 5C) chunks; our NHWC channel axis is
-        # laid out identically ([task, C] blocks) by vis_out's output order
-        return dynamic_group_conv(
-            x.astype(jnp.float32),
-            weight.astype(jnp.float32),
-            bias.astype(jnp.float32),
-            self.num_tasks,
-        )
+        # laid out identically ([task, C] blocks) by vis_out's output order.
+        # Stays in compute dtype until the f32-accumulating tap einsum (the
+        # reference ran this conv under fp16 autocast).
+        return dynamic_group_conv(x, weight, bias.astype(jnp.float32),
+                                  self.num_tasks)
 
 
 class Projector(MultiTaskProjector):

@@ -12,8 +12,22 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+def _use_fused(lq, lk, attn_mask, key_padding_mask) -> bool:
+    """Unmasked self-shaped attention over enough tokens routes to the fused
+    Pallas kernel (decoder self-attn over 676 tokens, attnpool over 169); the
+    tiny/masked cases (17-token text, cross-attn) stay on the XLA path."""
+    return (
+        attn_mask is None
+        and key_padding_mask is None
+        and lq == lk
+        and lq >= 64
+        and jax.default_backend() == "tpu"
+    )
 
 
 def attention_core(
@@ -36,6 +50,12 @@ def attention_core(
     qh = q.reshape(b, lq, num_heads, dh).transpose(0, 2, 1, 3)
     kh = k.reshape(b, lk, num_heads, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(b, lk, num_heads, dh).transpose(0, 2, 1, 3)
+
+    if _use_fused(lq, lk, attn_mask, key_padding_mask):
+        from crog_tpu.ops.pallas_attention import flash_attention_bhld
+
+        out = flash_attention_bhld(qh, kh, vh)
+        return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
 
     scale = dh**-0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) * scale
