@@ -13,6 +13,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -56,21 +57,20 @@ def restore_checkpoint(path: str, state=None) -> Dict[str, Any]:
     with params/opt_state/batch_stats/step replaced (resume); otherwise the
     raw payload (eval restore)."""
     path = os.path.abspath(path)
+    restored = _checkpointer().restore(path)
     if state is None:
-        return _checkpointer().restore(path)
-    payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-        "step": np.asarray(jax.device_get(state.step)),
-        "meta": None,
-    }
-    restored = _checkpointer().restore(path, item=payload)
+        return restored
+    # opt_state restores as generic containers; rebuild it against the
+    # optimizer's own structure so optax state classes survive the roundtrip
+    opt_template = jax.device_get(state.opt_state)
+    flat_restored = jax.tree_util.tree_leaves(restored["opt_state"])
+    treedef = jax.tree_util.tree_structure(opt_template)
+    opt_state = jax.tree_util.tree_unflatten(treedef, flat_restored)
     new_state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-        step=int(np.asarray(restored["step"])),
+        opt_state=opt_state,
+        step=jnp.asarray(np.asarray(restored["step"]), jnp.int32),
     )
     return {"state": new_state, "meta": restored.get("meta") or {}}
 
