@@ -165,13 +165,22 @@ class DataLoader:
 
 def device_put_crog(batch: Dict, sharding=None) -> Dict:
     """Move the dense fields of a CROG batch to device (sharded over the data
-    axis when a sharding is given); ragged host fields pass through."""
+    axis when a sharding is given); ragged host fields pass through.
+
+    Multi-host: each host holds only its stripe of the global batch, so the
+    global array is assembled with make_array_from_process_local_data (the
+    single-host fast path is a plain device_put)."""
     dense = {
         k: v
         for k, v in batch.items()
         if isinstance(v, np.ndarray) and k not in ("ori_size",)
     }
-    if sharding is not None:
+    if sharding is not None and jax.process_count() > 1:
+        dense = {
+            k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in dense.items()
+        }
+    elif sharding is not None:
         dense = {k: jax.device_put(v, sharding) for k, v in dense.items()}
     else:
         dense = {k: jax.device_put(v) for k, v in dense.items()}

@@ -131,14 +131,19 @@ def main():
 
     sharding = data_sharding(mesh)
     put = lambda b: device_put_crog(b, sharding)
+    # per-host striding: each host loads its slice of the global batch
+    # (DistributedSampler equivalent; with 1 host this is the whole batch)
+    hosts = dict(num_hosts=jax.process_count(), host_id=jax.process_index())
+    per_host_batch = max(1, args.batch_size // jax.process_count())
     train_loader = DataLoader(
-        train_ds, batch_size=args.batch_size, shuffle=True, drop_last=True,
+        train_ds, batch_size=per_host_batch, shuffle=True, drop_last=True,
         seed=args.manual_seed, num_workers=args.get("workers", 4),
-        device_put_fn=put,
+        device_put_fn=put, **hosts,
     )
     val_loader = DataLoader(
-        val_ds, batch_size=args.batch_size_val, shuffle=False, drop_last=True,
-        num_workers=args.get("workers_val", 2), device_put_fn=put,
+        val_ds, batch_size=max(1, args.batch_size_val // jax.process_count()),
+        shuffle=False, drop_last=True,
+        num_workers=args.get("workers_val", 2), device_put_fn=put, **hosts,
     )
     steps_per_epoch = len(train_loader)
 
