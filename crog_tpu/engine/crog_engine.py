@@ -279,6 +279,13 @@ def validate_with_grasp(
                 gts = batch["grasps"][i]
                 j1_hits.append(jacquard_index(preds1, gts))
                 j5_hits.append(jacquard_index(preds5, gts))
+    # cross-host metric gather (reference concat_all_gather of per-sample
+    # IoUs, engine/crog_engine.py:269); identity on one host
+    from crog_tpu.parallel.mesh import gather_metrics
+
+    iou_list = gather_metrics(iou_list).tolist()
+    j1_hits = gather_metrics(j1_hits).tolist()
+    j5_hits = gather_metrics(j5_hits).tolist()
     epochs = getattr(args, "epochs", 0) if args is not None else 0
     return summarize_eval(iou_list, j1_hits, j5_hits, epoch, epochs)
 

@@ -50,13 +50,14 @@ class LayerNormFp32(nn.Module):
         return y.astype(orig)
 
 
-def _bn(dtype, name=None):
+def _bn(dtype, name=None, zero_init: bool = False):
     return nn.BatchNorm(
         momentum=0.9,
         epsilon=1e-5,
         dtype=dtype,
         param_dtype=jnp.float32,
         use_running_average=None,  # passed per-call
+        scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
         name=name,
     )
 
@@ -107,7 +108,10 @@ class Bottleneck(nn.Module):
         )
         if self.stride > 1:
             out = avg_pool(out, self.stride)
-        out = _bn(self.dtype, "bn3")(
+        # bn3 scale zero-init: residual branches start as identity (reference
+        # initialize_parameters, model/clip.py:402-408; overwritten when a
+        # pretrained checkpoint is loaded)
+        out = _bn(self.dtype, "bn3", zero_init=True)(
             _conv(expansion * self.planes, 1, dtype=self.dtype, name="conv3")(out),
             use_running_average=use_ra,
         )
@@ -156,9 +160,12 @@ class AttentionPool2d(nn.Module):
         if (h, w) != (self.spacial_dim, self.spacial_dim):
             grid = resize_bicubic(grid, (h, w), align_corners=False)
         tokens = x.reshape(b, h * w, c) + grid.reshape(1, h * w, c).astype(x.dtype)
+        std = self.embed_dim**-0.5  # reference model/clip.py:396-400
         out = MultiHeadAttention(
             num_heads=self.num_heads,
             out_features=self.output_dim,
+            qkv_init_std=std,
+            out_init_std=std,
             dtype=self.dtype,
             name="attn",
         )(tokens, tokens, tokens)
@@ -229,27 +236,41 @@ class ModifiedResNet(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Pre-LN transformer block with QuickGELU (reference model/clip.py:239-265)."""
+    """Pre-LN transformer block with QuickGELU (reference model/clip.py:239-265).
+
+    ``total_layers`` drives CLIP's depth-scaled initialization (reference
+    model/clip.py:410-418); 0 keeps framework-default inits."""
 
     d_model: int
     n_head: int
+    total_layers: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
+        w = self.d_model
+        if self.total_layers > 0:
+            attn_std = w**-0.5
+            proj_std = (w**-0.5) * ((2 * self.total_layers) ** -0.5)
+            fc_init = nn.initializers.normal(stddev=(2 * w) ** -0.5)
+            proj_init = nn.initializers.normal(stddev=proj_std)
+        else:
+            attn_std = proj_std = None
+            fc_init = proj_init = nn.linear.default_kernel_init
         y = LayerNormFp32(name="ln_1")(x)
         x = x + MultiHeadAttention(
-            num_heads=self.n_head, dtype=self.dtype, name="attn"
+            num_heads=self.n_head, qkv_init_std=attn_std,
+            out_init_std=proj_std, dtype=self.dtype, name="attn",
         )(y, y, y, attn_mask=attn_mask)
         y = LayerNormFp32(name="ln_2")(x)
         y = nn.Dense(
             self.d_model * 4, dtype=self.dtype, param_dtype=jnp.float32,
-            name="mlp_c_fc",
+            kernel_init=fc_init, name="mlp_c_fc",
         )(y)
         y = quick_gelu(y)
         y = nn.Dense(
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
-            name="mlp_c_proj",
+            kernel_init=proj_init, name="mlp_c_proj",
         )(y)
         return x + y
 
@@ -302,7 +323,8 @@ class VisionTransformer(nn.Module):
         x = LayerNormFp32(name="ln_pre")(x)
         for i in range(self.layers):
             x = ResidualAttentionBlock(
-                self.width, self.heads, self.dtype, name=f"resblock_{i}"
+                self.width, self.heads, dtype=self.dtype,
+                name=f"resblock_{i}",
             )(x)
         x = LayerNormFp32(name="ln_post")(x[:, 1:, :])
         proj = self.param(
@@ -350,7 +372,8 @@ class TextTransformer(nn.Module):
         mask = causal_mask(l)
         for i in range(self.layers):
             x = ResidualAttentionBlock(
-                self.width, self.heads, self.dtype, name=f"resblock_{i}"
+                self.width, self.heads, total_layers=self.layers,
+                dtype=self.dtype, name=f"resblock_{i}",
             )(x, attn_mask=mask)
         x = LayerNormFp32(name="ln_final")(x).astype(self.dtype)
         text_projection = self.param(

@@ -42,6 +42,7 @@ class CROG(nn.Module):
     input_resolution: int = 416
     use_contrastive: bool = True  # enables the transformer decoder
     use_grasp_masks: bool = True  # 5-task vs single-mask projector
+    intermediate: bool = False  # decoder return_intermediate (unused by cfgs)
     vision_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     transformer_layers: int = 12
     remat: bool = False  # remat the vision tower for bigger per-chip batch
@@ -70,6 +71,7 @@ class CROG(nn.Module):
                 nhead=self.num_head,
                 dim_ffn=self.dim_ffn,
                 dropout=self.dropout,
+                return_intermediate=self.intermediate,
                 dtype=self.dtype,
                 name="decoder",
             )
@@ -93,6 +95,8 @@ class CROG(nn.Module):
         fq = self.neck(vis, state, train)
         if self.use_contrastive:
             fq = self.decoder(fq, word_feat, pad_mask, train)
+            if self.intermediate:
+                fq = fq[-1]  # projector consumes the final layer's output
         return self.proj(fq, state, train)
 
 
@@ -158,6 +162,7 @@ def build_crog(cfg) -> Tuple[CROG, Dict]:
         num_head=cfg.num_head,
         dim_ffn=cfg.dim_ffn,
         dropout=cfg.dropout,
+        intermediate=bool(cfg.get("intermediate", False)),
         input_resolution=cfg.input_size,
         use_contrastive=cfg.use_contrastive,
         use_grasp_masks=cfg.use_grasp_masks,

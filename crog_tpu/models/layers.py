@@ -226,6 +226,9 @@ class TransformerDecoder(nn.Module):
     nhead: int
     dim_ffn: int
     dropout: float
+    return_intermediate: bool = False  # cfg `intermediate` (unused by the
+    # shipped configs; reference model/layers.py:259-273 returned a list of
+    # per-layer normed outputs — here stacked on a leading axis)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -235,13 +238,20 @@ class TransformerDecoder(nn.Module):
         vis_pos = jnp.asarray(_pos2d(c, h, w))[None]  # [1, HW, C]
         txt_pos = jnp.asarray(_pos1d(txt.shape[-1], l))[None]  # [1, L, C]
         x = vis.reshape(b, h * w, c)
+        norm = LayerNormFp32(name="norm")
+        intermediate = []
         for i in range(self.num_layers):
             x = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_ffn, self.dropout,
                 self.dtype, name=f"layer_{i}",
             )(x, txt, vis_pos, txt_pos, pad_mask, train)
-        x = LayerNormFp32(name="norm")(x)
-        return x.reshape(b, h, w, c)
+            if self.return_intermediate:
+                intermediate.append(norm(x).reshape(b, h, w, c))
+        out = norm(x).reshape(b, h, w, c)
+        if self.return_intermediate:
+            intermediate[-1] = out
+            return jnp.stack(intermediate, axis=0)
+        return out
 
 
 class MultiTaskProjector(nn.Module):

@@ -20,8 +20,21 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from crog_tpu.models.clip import _bn, _conv
+from crog_tpu.models.clip import _bn
 from crog_tpu.ops.boxes import make_anchors
+
+# the reference xavier-uniform-initializes every conv in SSG with zero bias
+# (model/ssg.py:241-245)
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+def _conv(features, kernel, stride=1, padding=0, dtype=jnp.float32, name=None,
+          use_bias=False):
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)], use_bias=use_bias,
+        kernel_init=_XAVIER, dtype=dtype, param_dtype=jnp.float32, name=name,
+    )
 from crog_tpu.ops.resize import resize_bilinear, upsample2x_bilinear
 
 
@@ -104,7 +117,8 @@ class SSGFPN(nn.Module):
     def __call__(self, c3, c4, c5, train: bool):
         conv = lambda f, k, s, p, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
-            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            kernel_init=_XAVIER, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name,
         )
         p5_1 = conv(256, 1, 1, 0, "lat2")(c5)
         p4_1 = conv(256, 1, 1, 0, "lat1")(c4) + upsample2x_bilinear(p5_1)
@@ -126,8 +140,8 @@ class ProtoNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         conv3 = lambda f, name: nn.Conv(
-            f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-            param_dtype=jnp.float32, name=name,
+            f, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_XAVIER,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
         for i in range(3):
             x = nn.relu(conv3(256, f"proto1_{i}")(x))
@@ -135,7 +149,7 @@ class ProtoNet(nn.Module):
         x = nn.relu(conv3(256, "proto2_0")(x))
         x = nn.relu(
             nn.Conv(
-                self.coef_dim, (1, 1), dtype=self.dtype,
+                self.coef_dim, (1, 1), kernel_init=_XAVIER, dtype=self.dtype,
                 param_dtype=jnp.float32, name="proto2_1",
             )(x)
         )
@@ -154,8 +168,8 @@ class PredictionModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         conv3 = lambda f, name: nn.Conv(
-            f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-            param_dtype=jnp.float32, name=name,
+            f, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_XAVIER,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
         b = x.shape[0]
         x = nn.relu(conv3(256, "upfeature")(x))
@@ -244,8 +258,9 @@ class SSG(nn.Module):
             )
         if train:
             output["seg_pred"] = nn.Conv(
-                self.num_classes, (1, 1), dtype=self.dtype,
-                param_dtype=jnp.float32, name="semantic_seg_conv",
+                self.num_classes, (1, 1), kernel_init=_XAVIER,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name="semantic_seg_conv",
             )(feats[0]).astype(jnp.float32)
         return output
 

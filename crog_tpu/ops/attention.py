@@ -71,10 +71,16 @@ def attention_core(
 
 class MultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent with separate q/k/v/out Dense
-    layers (converter splits torch's packed in_proj into these)."""
+    layers (converter splits torch's packed in_proj into these).
+
+    ``qkv_init_std`` / ``out_init_std`` reproduce CLIP's deliberate normal
+    initializations (reference model/clip.py:390-418); None keeps the flax
+    default (used where torch also used its default)."""
 
     num_heads: int
     out_features: Optional[int] = None
+    qkv_init_std: Optional[float] = None
+    out_init_std: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,13 +93,22 @@ class MultiHeadAttention(nn.Module):
         key_padding_mask=None,
     ):
         d = query.shape[-1]
-        dense = lambda feats, name: nn.Dense(
-            feats, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )
-        q = dense(d, "q_proj")(query)
-        k = dense(d, "k_proj")(key)
-        v = dense(d, "v_proj")(value)
+
+        def dense(feats, name, std):
+            init = (
+                nn.initializers.normal(stddev=std)
+                if std is not None
+                else nn.linear.default_kernel_init
+            )
+            return nn.Dense(
+                feats, dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=init, name=name,
+            )
+
+        q = dense(d, "q_proj", self.qkv_init_std)(query)
+        k = dense(d, "k_proj", self.qkv_init_std)(key)
+        v = dense(d, "v_proj", self.qkv_init_std)(value)
         out = attention_core(
             q, k, v, self.num_heads, attn_mask, key_padding_mask
         )
-        return dense(self.out_features or d, "out_proj")(out)
+        return dense(self.out_features or d, "out_proj", self.out_init_std)(out)

@@ -58,6 +58,19 @@ def replicate(tree, mesh: Optional[Mesh] = None):
     return jax.device_put(tree, s)
 
 
+def gather_metrics(values) -> np.ndarray:
+    """Concatenate per-host metric arrays across processes (the reference's
+    concat_all_gather, utils/misc.py:46-59).  Single-host: identity."""
+    values = np.asarray(values)
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.concatenate(
+        np.asarray(multihost_utils.process_allgather(values))
+    )
+
+
 def shard_batch(tree, mesh: Optional[Mesh] = None):
     """Place every leaf with its leading axis split across the data axis.
 
