@@ -82,6 +82,27 @@ class EpochSampler:
         return (n + self.batch_size - 1) // self.batch_size
 
 
+def pad_batch(batch: Dict, batch_size: int, n_valid: int) -> Dict:
+    """Pad a short tail batch to the full batch size by repeating the last
+    sample, recording ``n_valid``.
+
+    Keeps eval on the ONE compiled program for every batch (no tail-shape
+    recompile) while the full split is still scored — the reference used
+    drop_last=False for val (train_crog.py:200); consumers slice device
+    outputs to ``n_valid``.
+    """
+    out: Dict = {"n_valid": n_valid}
+    pad = batch_size - n_valid
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n_valid:
+            out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+        elif isinstance(v, list) and len(v) == n_valid:
+            out[k] = v + [v[-1]] * pad
+        else:
+            out[k] = v
+    return out
+
+
 class DataLoader:
     """Threaded loader with optional device placement + prefetch."""
 
@@ -98,6 +119,7 @@ class DataLoader:
         prefetch: int = 2,
         num_hosts: int = 1,
         host_id: int = 0,
+        pad_last_batch: bool = False,
     ):
         self.dataset = dataset
         self.sampler = EpochSampler(
@@ -108,6 +130,8 @@ class DataLoader:
         self.device_put_fn = device_put_fn
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.batch_size = batch_size
+        self.pad_last_batch = pad_last_batch
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
@@ -130,6 +154,8 @@ class DataLoader:
                     break
                 samples = list(pool.map(self.dataset.__getitem__, batch_idx))
                 batch = self.collate_fn(samples)
+                if self.pad_last_batch and len(batch_idx) < self.batch_size:
+                    batch = pad_batch(batch, self.batch_size, len(batch_idx))
                 if self.device_put_fn is not None:
                     batch = self.device_put_fn(batch)
                 # bounded put that can be interrupted by a consumer going away
@@ -170,11 +196,7 @@ def device_put_crog(batch: Dict, sharding=None) -> Dict:
     Multi-host: each host holds only its stripe of the global batch, so the
     global array is assembled with make_array_from_process_local_data (the
     single-host fast path is a plain device_put)."""
-    dense = {
-        k: v
-        for k, v in batch.items()
-        if isinstance(v, np.ndarray) and k not in ("ori_size",)
-    }
+    dense = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
     if sharding is not None and jax.process_count() > 1:
         dense = {
             k: jax.make_array_from_process_local_data(sharding, v)

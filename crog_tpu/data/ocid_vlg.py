@@ -62,6 +62,9 @@ class OCIDVLGDataset:
         self.class_instance_names = SUBNAMES
         self.class_names = CNAMES
         self.instance_idx_to_class_idx = SUB_TO_CLASS
+        # every OCID capture is 480x640; the eval step pads its per-sample
+        # un-warp canvas to this maximum
+        self.max_ori_size = (480, 640)
         self._load_split()
 
     def _load_split(self):

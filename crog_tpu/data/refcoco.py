@@ -38,6 +38,9 @@ class RefCOCODataset:
         self.split = split
         self.input_size = (input_size, input_size)
         self.word_length = word_length
+        # COCO images are at most 640px on a side; the eval step un-warps
+        # each sample to its own ori_size inside this padded canvas
+        self.max_ori_size = (640, 640)
 
     def __len__(self):
         return len(self.reader)

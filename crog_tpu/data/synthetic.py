@@ -44,6 +44,7 @@ class SyntheticOCIDVLG:
         self.input_size = (input_size, input_size)
         self.word_length = word_length
         self.ori_h, self.ori_w = ori_hw
+        self.max_ori_size = tuple(ori_hw)
         self.seed = seed + {"train": 0, "val": 10_000, "test": 20_000}.get(
             split, 0
         )

@@ -73,7 +73,7 @@ def train_metrics(pred_logits, target_mask, threshold=0.35, pr_iou=0.5):
 
 
 _TRAIN_KEYS = ("img", "word", "mask", "qua", "sin", "cos", "wid")
-_EVAL_KEYS = ("img", "word", "mask")
+_EVAL_KEYS = ("img", "word", "mask", "inverse", "ori_size")
 
 
 def make_train_step(model, tx, use_grasp_masks: bool = True):
@@ -133,38 +133,33 @@ def make_eval_step(
     num_peaks: int = 5,
     mask_threshold: float = 0.35,
 ):
-    """Returns jit-compiled eval over a batch with constant original size.
+    """Returns a jit-compiled eval step with PER-SAMPLE original geometry.
 
-    Outputs per-sample mask IoU, Pr-threshold hits, and top-k grasp rects in
-    ORIGINAL image coordinates (the reference computed all of this per sample
-    with cv2/skimage on host, engine/crog_engine.py:214-261).
+    ``ori_hw`` is the MAXIMUM original (h, w) across the split; every sample
+    is un-warped to its own resolution (from ``batch['inverse']`` /
+    ``batch['ori_size']``, like the reference's per-sample cv2.warpAffine
+    loop at engine/crog_engine.py:233-244) inside a common zero-padded
+    [B, max_h, max_w] canvas, so constant-size datasets (OCID-VLG, 480x640)
+    and variable-size ones (RefCOCO) share one compiled program.
+
+    The letterbox inverse is a pure scale+translate affine (reference
+    utils/dataset.py:825-840), hence SEPARABLE: the whole eval resample
+    chain — bicubic 4x upsample (align_corners=True, reference :187-211)
+    composed with the cv2-style inverse warp to original resolution —
+    collapses to one row matrix and one column matrix per sample applied to
+    the raw 104x104 predictions.  Batched matmuls on the MXU replace a
+    16-tap gather per pixel.
+
+    Outputs per-sample mask IoU and top-k grasp rects in ORIGINAL image
+    coordinates (the reference computed all of this per sample with
+    cv2/skimage on host, engine/crog_engine.py:214-261).
     """
-    oh, ow = ori_hw
-    # The letterbox inverse is a pure scale+translate affine (reference
-    # utils/dataset.py:825-840), hence SEPARABLE: the whole eval resample
-    # chain — bicubic 4x upsample (align_corners=True, reference :187-211)
-    # composed with the cv2-style inverse warp to original resolution
-    # (reference :233-244) — collapses to ONE row matrix and ONE column
-    # matrix applied to the raw 104x104 predictions.  Two small matmuls on
-    # the MXU replace a 16-tap gather per pixel.
-    from crog_tpu.ops.affine import letterbox_transform
-    from crog_tpu.ops.resize import (
-        affine_axis_matrix,
-        interp_matrix,
-        separable_affine_warp,
-    )
+    max_h, max_w = ori_hw
+    from crog_tpu.ops.resize import batched_affine_axis_matrix, interp_matrix
 
-    mat, _ = letterbox_transform((oh, ow), (input_size, input_size))
     pred_size = input_size // 4
-    up = interp_matrix(pred_size, input_size, "cubic", True).astype(np.float64)
-    w_row_warp = affine_axis_matrix(
-        input_size, oh, mat[1, 1], mat[1, 2], "cubic"
-    ).astype(np.float64)
-    w_col_warp = affine_axis_matrix(
-        input_size, ow, mat[0, 0], mat[0, 2], "cubic"
-    ).astype(np.float64)
-    w_row = (w_row_warp @ up).astype(np.float32)  # [oh, pred]
-    w_col = (w_col_warp @ up).astype(np.float32)  # [ow, pred]
+    up = jnp.asarray(interp_matrix(pred_size, input_size, "cubic", True))
+    hi = jax.lax.Precision.HIGHEST
 
     def step(variables, batch):
         img = batch["img"]
@@ -176,16 +171,35 @@ def make_eval_step(
         cos_p = preds[..., 3].astype(jnp.float32)
         wid_p = jax.nn.sigmoid(preds[..., 4].astype(jnp.float32))
 
+        # per-sample warp matrices: cv2.warpAffine(pred, inverse, ori_size)
+        # samples src = forward_letterbox @ dst, so invert the stored
+        # (axis-aligned) input->original matrix per sample
+        inv = batch["inverse"].astype(jnp.float32)  # [B, 2, 3]
+        osz = batch["ori_size"].astype(jnp.int32)  # [B, 2] (h, w)
+        fsy = 1.0 / inv[:, 1, 1]
+        foy = -inv[:, 1, 2] * fsy
+        fsx = 1.0 / inv[:, 0, 0]
+        fox = -inv[:, 0, 2] * fsx
+        w_row = batched_affine_axis_matrix(
+            input_size, max_h, fsy, foy, osz[:, 0]
+        )  # [B, max_h, S]
+        w_col = batched_affine_axis_matrix(
+            input_size, max_w, fsx, fox, osz[:, 1]
+        )  # [B, max_w, S]
+        # compose with the static upsample matrix: [B, max, pred]
+        wr = jnp.einsum("bos,sp->bop", w_row, up, precision=hi)
+        wc = jnp.einsum("bos,sp->bop", w_col, up, precision=hi)
+
         stack = jnp.stack([mask_p, qua_p, sin_p, cos_p, wid_p], axis=1)
-        warped = separable_affine_warp(stack, w_row, w_col)  # [B, 5, oh, ow]
+        y = jnp.einsum("boh,bchw->bcow", wr, stack, precision=hi)
+        warped = jnp.einsum("bpw,bcow->bcop", wc, y, precision=hi)
         mask_w, qua_w, sin_w, cos_w, wid_w = (
             warped[:, 0], warped[:, 1], warped[:, 2], warped[:, 3], warped[:, 4]
         )
 
-        tgt_w = separable_affine_warp(
-            batch["mask"].astype(jnp.float32), w_row_warp.astype(np.float32),
-            w_col_warp.astype(np.float32),
-        )
+        tgt = batch["mask"].astype(jnp.float32)
+        ty = jnp.einsum("boh,bhw->bow", w_row, tgt, precision=hi)
+        tgt_w = jnp.einsum("bpw,bow->bop", w_col, ty, precision=hi)
 
         pred_bin = mask_w > mask_threshold
         tgt_bin = tgt_w != 0.0  # np.logical_and float semantics (ref :247)
@@ -194,7 +208,7 @@ def make_eval_step(
         iou = inter / (union + 1e-6)
 
         rects, valid = detect_grasp_peaks(
-            qua_w, sin_w, cos_w, wid_w, num_peaks=num_peaks
+            qua_w, sin_w, cos_w, wid_w, num_peaks=num_peaks, valid_hw=osz
         )
         return {"iou": iou, "rects": rects, "rects_valid": valid}
 
@@ -268,17 +282,24 @@ def validate_with_grasp(
     for batch in loader:
         out = eval_step(variables, batch)
         iou = np.asarray(out["iou"])
-        iou_list.extend(iou.tolist())
+        # a padded tail batch (drop_last=False + pad_last_batch) carries the
+        # count of real samples; the reference evaluated the full split
+        # (train_crog.py:200 drop_last=False)
+        n_valid = int(batch.get("n_valid", iou.shape[0]))
+        iou_list.extend(iou[:n_valid].tolist())
         if with_grasps:
             rects = np.asarray(out["rects"])
             valid = np.asarray(out["rects_valid"])
-            for i in range(rects.shape[0]):
+            ori_sizes = np.asarray(batch["ori_size"]) if "ori_size" in batch \
+                else np.full((rects.shape[0], 2), (480, 640))
+            for i in range(n_valid):
                 preds5 = [rects[i, k].tolist() for k in range(rects.shape[1])
                           if valid[i, k]]
                 preds1 = preds5[:1]
                 gts = batch["grasps"][i]
-                j1_hits.append(jacquard_index(preds1, gts))
-                j5_hits.append(jacquard_index(preds5, gts))
+                shape = (int(ori_sizes[i, 0]), int(ori_sizes[i, 1]))
+                j1_hits.append(jacquard_index(preds1, gts, shape=shape))
+                j5_hits.append(jacquard_index(preds5, gts, shape=shape))
     # cross-host metric gather (reference concat_all_gather of per-sample
     # IoUs, engine/crog_engine.py:269); identity on one host
     from crog_tpu.parallel.mesh import gather_metrics

@@ -92,6 +92,7 @@ def detect_grasp_peaks(
     min_distance: int = 2,
     threshold_abs: float = 0.4,
     max_width: float = 100.0,
+    valid_hw=None,
 ):
     """Batched device grasp detection.
 
@@ -100,6 +101,12 @@ def detect_grasp_peaks(
     and valid [B, K] bool.  Peak criterion matches peak_local_max: local max of
     a (2d+1)^2 window (ties included, consistent with equality testing),
     strictly above threshold, borders excluded; top-K by quality.
+
+    ``valid_hw`` [B, 2] int gives each sample's true (h, w) when the maps are
+    zero-padded to a common max size (per-sample original resolutions,
+    reference engine/crog_engine.py:233-244): border exclusion then applies
+    at each sample's own edges, and the zero padding matches scipy's
+    constant-0 filter boundary.
 
     The max-pool lowers to an XLA reduce-window on the VPU; top_k is tiny
     (H*W -> K).  One call handles the full eval batch — this replaces the
@@ -113,11 +120,17 @@ def detect_grasp_peaks(
     is_peak = (qf == pooled) & (qf > threshold_abs)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if valid_hw is None:
+        vh = jnp.full((b, 1, 1), h, jnp.int32)
+        vw = jnp.full((b, 1, 1), w, jnp.int32)
+    else:
+        vh = valid_hw[:, 0].astype(jnp.int32)[:, None, None]
+        vw = valid_hw[:, 1].astype(jnp.int32)[:, None, None]
     border = (
-        (rows >= min_distance)
-        & (rows < h - min_distance)
-        & (cols >= min_distance)
-        & (cols < w - min_distance)
+        (rows[None] >= min_distance)
+        & (rows[None] < vh - min_distance)
+        & (cols[None] >= min_distance)
+        & (cols[None] < vw - min_distance)
     )
     is_peak = is_peak & border
 

@@ -144,6 +144,52 @@ def affine_axis_matrix(
     return w.astype(np.float32)
 
 
+def _cubic_kernel_jnp(x):
+    x = jnp.abs(x)
+    A = _CUBIC_A
+    return jnp.where(
+        x <= 1.0,
+        ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0,
+        jnp.where(
+            x < 2.0, ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A, 0.0
+        ),
+    )
+
+
+def batched_affine_axis_matrix(
+    in_size: int,
+    out_size: int,
+    scale,
+    offset,
+    valid_out=None,
+    mode: str = "cubic",
+):
+    """Jittable [B, out_size, in_size] warp matrices, one per sample.
+
+    Row o of matrix b samples ``src = scale[b]*o + offset[b]`` with a
+    constant-0 border — the device-side twin of ``affine_axis_matrix`` for
+    PER-SAMPLE letterbox geometry (the reference inverse-warps each sample
+    with its own matrix, engine/crog_engine.py:233-244).  The kernel weight
+    for input pixel i is K(src - i), identical to the 4-tap floor-based
+    construction because K vanishes for |d| >= 2.  Rows at or beyond
+    ``valid_out[b]`` are zeroed so padded output regions stay exactly 0.
+    """
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = scale[:, None] * dst[None, :] + offset[:, None]  # [B, out]
+    i = jnp.arange(in_size, dtype=jnp.float32)
+    d = src[..., None] - i  # [B, out, in]
+    if mode == "cubic":
+        w = _cubic_kernel_jnp(d)
+    elif mode == "linear":
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    else:
+        raise ValueError(mode)
+    if valid_out is not None:
+        keep = dst[None, :] < valid_out.astype(jnp.float32)[:, None]
+        w = w * keep[..., None]
+    return w
+
+
 def separable_affine_warp(x, wrow: np.ndarray, wcol: np.ndarray):
     """Apply precomputed per-axis warp matrices to [..., H, W]."""
     hi = jax.lax.Precision.HIGHEST

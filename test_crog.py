@@ -75,12 +75,16 @@ def main():
         batch_size=int(args.get("batch_size_test", args.get("batch_size_val", 16))),
         shuffle=False,
         drop_last=False,
+        pad_last_batch=True,
         num_workers=args.get("workers_val", 4),
         device_put_fn=lambda b: device_put_crog(b),
     )
     example = next(iter(loader))
     variables = load_eval_variables(args, model, example)
-    eval_step = make_eval_step(model, input_size=args.input_size)
+    eval_step = make_eval_step(
+        model, input_size=args.input_size,
+        ori_hw=getattr(ds, "max_ori_size", (480, 640)),
+    )
     result = validate_with_grasp(
         loader, eval_step, variables, with_grasps=args.use_grasp_masks
     )

@@ -140,9 +140,11 @@ def main():
         seed=args.manual_seed, num_workers=args.get("workers", 4),
         device_put_fn=put, **hosts,
     )
+    # full val split: no sample dropped (reference train_crog.py:200
+    # drop_last=False); the tail batch is padded to keep one compiled program
     val_loader = DataLoader(
         val_ds, batch_size=max(1, args.batch_size_val // jax.process_count()),
-        shuffle=False, drop_last=True,
+        shuffle=False, drop_last=False, pad_last_batch=True,
         num_workers=args.get("workers_val", 2), device_put_fn=put, **hosts,
     )
     steps_per_epoch = len(train_loader)
@@ -188,7 +190,8 @@ def main():
 
     train_step = make_train_step(model, tx, args.use_grasp_masks)
     eval_step = make_eval_step(
-        model, input_size=args.input_size, ori_hw=(480, 640)
+        model, input_size=args.input_size,
+        ori_hw=getattr(val_ds, "max_ori_size", (480, 640)),
     )
     out_dir = os.path.join(args.output_folder, args.exp_name)
     from crog_tpu.utils.tracking import MetricsTracker
