@@ -135,6 +135,11 @@ class DataAugmentor:
         if random.randint(0, 1):
             img = np.clip(img * random.uniform(0.7, 1.3), 0.0, 255.0)
         hsv = _bgr_hsv(img)
+        # DELIBERATE bug-for-bug parity, do not "fix": the reference's
+        # _random_saturation mutates channel 0 (hue) instead of channel 1
+        # (/root/reference/utils/augmentation.py:43-54), so its photometric
+        # distort shifts hue TWICE and never touches saturation.  The trained
+        # models saw exactly this distribution.
         hsv[..., 0] = (hsv[..., 0] + random.uniform(-15, 15)) % 360.0
         hsv[..., 0] = (hsv[..., 0] + random.uniform(-15, 15)) % 360.0
         img = np.clip(_hsv_bgr(hsv), 0.0, 255.0)
@@ -315,6 +320,59 @@ class OCIDGraspDataset:
         d["grasp_masks"]["cos"] = np.cos(2 * d["grasp_masks"]["ang"])
         return d
 
+    def visualization(self, index: int, tgt_dir: str):
+        """GT debug figures (reference utils/dataset.py:1289-1394): one
+        raw-data figure (RGB / depth / semantic mask) plus a per-instance
+        grid of mask + grasp maps, written under ``tgt_dir``."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        d = self[index]
+        os.makedirs(tgt_dir, exist_ok=True)
+        rgb = np.clip(np.asarray(d["rgb"], np.float32), 0.0, 1.0)
+        if rgb.ndim == 3 and rgb.shape[0] in (3, 4):  # CHW after augmentor
+            rgb = rgb.transpose(1, 2, 0)[:, :, :3]
+        fig = plt.figure(figsize=(25, 10))
+        for i, (data, title, kw) in enumerate(
+            (
+                (rgb[..., ::-1], "RGB", {}),
+                (np.asarray(d["depth"]), "Depth", dict(cmap="gray")),
+                (np.asarray(d["sem_mask"]), "Segm Mask", {}),
+            ),
+            start=1,
+        ):
+            ax = fig.add_subplot(1, 3, i)
+            ax.imshow(data, **kw)
+            ax.set_title(title)
+            ax.axis("off")
+        plt.tight_layout()
+        plt.savefig(os.path.join(tgt_dir, "raw-data.png"))
+        plt.close(fig)
+
+        panels = (
+            ("ins", None), ("qua", dict(cmap="jet", vmin=0, vmax=1)),
+            ("sin", dict(cmap="rainbow", vmin=-1, vmax=1)),
+            ("cos", dict(cmap="rainbow", vmin=-1, vmax=1)),
+            ("wid", dict(cmap="jet", vmin=0, vmax=1)),
+        )
+        for i in range(d["ins_masks"].shape[0]):
+            fig = plt.figure(figsize=(20, 2))
+            maps = {
+                "ins": d["ins_masks"][i],
+                **{k: d["grasp_masks"][k][i] for k in ("qua", "sin", "cos", "wid")},
+            }
+            for j, (key, kw) in enumerate(panels, start=1):
+                ax = fig.add_subplot(1, 5, j)
+                ax.imshow(np.asarray(maps[key]), **(kw or {}))
+                ax.set_title(key)
+                ax.axis("off")
+            plt.tight_layout()
+            plt.savefig(os.path.join(tgt_dir, f"instance-{i}.png"))
+            plt.close(fig)
+        return tgt_dir
+
 
 def collate_ssg(samples: List[Dict], max_objs: int = 24) -> Dict:
     """Pad the ragged object axis to ``max_objs`` producing the dense GT
@@ -332,7 +390,6 @@ def collate_ssg(samples: List[Dict], max_objs: int = 24) -> Dict:
         "grasp_sin": np.zeros((b, max_objs, s, s), np.float32),
         "grasp_cos": np.zeros((b, max_objs, s, s), np.float32),
         "grasp_wid": np.zeros((b, max_objs, s, s), np.float32),
-        "sem_mask": np.zeros((b, s, s), np.float32),
         "ins_grasp_rects": [],
         "ori_size": np.stack([x["ori_size"] for x in samples]),
     }
@@ -349,12 +406,11 @@ def collate_ssg(samples: List[Dict], max_objs: int = 24) -> Dict:
         out["grasp_sin"][i, :m] = d["grasp_masks"]["sin"][:m]
         out["grasp_cos"][i, :m] = d["grasp_masks"]["cos"][:m]
         out["grasp_wid"][i, :m] = d["grasp_masks"]["wid"][:m]
-        # semantic GT for the aux head is the class-labeled mask downscaled
-        # in-loss; store the per-scene semantic mask when available
-        if "sem_mask" in d:
-            sm = d["sem_mask"]
-            if sm.shape != (s, s):
-                sm = np.zeros((s, s), np.float32)
-            out["sem_mask"][i] = sm
+        # no semantic-mask field: the aux semantic head's GT is built in-loss
+        # from the (augmented) per-instance masks + labels
+        # (ssg_loss.semantic_seg_loss), exactly the reference's scatter of
+        # instance masks into class channels (model/ssg.py:510-529); the raw
+        # scene-level sem_mask is never letterboxed by the augmentor and so
+        # cannot be collated consistently
         out["ins_grasp_rects"].append(d.get("ins_grasp_rects", []))
     return out

@@ -140,6 +140,39 @@ class OCIDVLGDataset:
             sample["depth"] = self._depth(it["seq_path"], it["im_name"])
         return sample
 
+    def get_annotated_image(self, n: int) -> np.ndarray:
+        """Raw-resolution RGB with the target bbox + GT grasp rects drawn
+        (reference get_annotated_image, used by utils/dataset.py:976-1039)."""
+        from crog_tpu.utils.visualization import _draw_line, draw_grasp_rects
+
+        it = self.items[n]
+        img = self._rgb(it["seq_path"], it["im_name"])
+        target_idx = self.class_instance_names[it["target"]]
+        grasps = self.transform_grasp(
+            np.asarray(it["grasps"], np.float64), target_idx
+        )
+        out = draw_grasp_rects(img, grasps)
+        x, y, w, h = it["bbox"]
+        for p0, p1 in (
+            ((x, y), (x + w, y)), ((x + w, y), (x + w, y + h)),
+            ((x + w, y + h), (x, y + h)), ((x, y + h), (x, y)),
+        ):
+            _draw_line(out, p0, p1, (0, 255, 0))
+        return out
+
+    def visualization(self, n: int, save_path: str):
+        """GT debug figure for sample ``n`` (reference
+        utils/dataset.py:976-1039): RGB / depth / mask / annotated grasps /
+        grasp-map panels, saved as sample_<n>.png under ``save_path``."""
+        from crog_tpu.utils.visualization import visualize_gt_sample
+
+        sample = self[n]
+        return visualize_gt_sample(
+            sample,
+            os.path.join(save_path, f"sample_{n}.png"),
+            annotated=self.get_annotated_image(n),
+        )
+
     def preprocess(self, img, msk, grasp_masks, sentence) -> Dict:
         """Letterbox warp + normalize (reference utils/dataset.py:843-914)."""
         ins_mask = (msk.astype(np.float64) * 255).astype(np.uint8) if msk.max() <= 1.0 else msk

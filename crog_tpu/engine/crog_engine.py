@@ -270,11 +270,14 @@ def validate_with_grasp(
     epoch: int = 0,
     args=None,
     with_grasps: bool = True,
+    on_batch=None,
 ):
     """Host eval loop: device metrics + host Jacquard check.
 
     ``loader`` yields batches with device arrays plus host-side ragged
-    ``grasps`` (list of [Mi, 6] arrays) and ``ori_size``.
+    ``grasps`` (list of [Mi, 6] arrays) and ``ori_size``.  ``on_batch`` is an
+    optional hook called as ``on_batch(batch, out, n_valid)`` after each eval
+    step (inference visualization reuses the single pass this way).
     """
     iou_list: list = []
     j1_hits: list = []
@@ -300,6 +303,8 @@ def validate_with_grasp(
                 shape = (int(ori_sizes[i, 0]), int(ori_sizes[i, 1]))
                 j1_hits.append(jacquard_index(preds1, gts, shape=shape))
                 j5_hits.append(jacquard_index(preds5, gts, shape=shape))
+        if on_batch is not None:
+            on_batch(batch, out, n_valid)
     # cross-host metric gather (reference concat_all_gather of per-sample
     # IoUs, engine/crog_engine.py:269); identity on one host
     from crog_tpu.parallel.mesh import gather_metrics
@@ -328,21 +333,23 @@ def inference_with_grasp(
     vis_dir: str = "vis",
 ):
     """Test-split inference (reference engine/crog_engine.py:386-558):
-    validate_with_grasp plus optional per-sample visualization PNGs."""
-    result = validate_with_grasp(
-        loader, eval_step, variables, 0, args,
-        with_grasps=args is None or args.get("use_grasp_masks", True),
-    )
+    validate_with_grasp plus optional per-sample visualization PNGs for the
+    WHOLE split (reference :530-533), rendered during the same single pass
+    over the loader."""
+    on_batch = None
     if visualize:
         import numpy as _np
 
         from crog_tpu.utils.visualization import visualize_grasp_prediction
 
-        for bi, batch in enumerate(loader):
-            out = eval_step(variables, batch)
+        counter = {"batch": 0}
+
+        def on_batch(batch, out, n_valid):  # noqa: F811
+            bi = counter["batch"]
+            counter["batch"] += 1
             rects = _np.asarray(out["rects"])
             valid = _np.asarray(out["rects_valid"])
-            for i in range(rects.shape[0]):
+            for i in range(n_valid):
                 img = _np.asarray(batch["img"][i])
                 img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
                 visualize_grasp_prediction(
@@ -357,8 +364,12 @@ def inference_with_grasp(
                     batch.get("sentence", [""] * rects.shape[0])[i],
                     save_path=f"{vis_dir}/{bi:04d}_{i:02d}.png",
                 )
-            break  # one batch of visualizations per call
-    return result
+
+    return validate_with_grasp(
+        loader, eval_step, variables, 0, args,
+        with_grasps=args is None or args.get("use_grasp_masks", True),
+        on_batch=on_batch,
+    )
 
 
 def train_one_epoch(
@@ -392,7 +403,10 @@ def train_one_epoch(
     metrics = None
     for i, batch in enumerate(loader):
         meters["data_time"].update(time.perf_counter() - end)
-        step_rng = jax.random.fold_in(rng, state.step if isinstance(state.step, int) else i)
+        # rng is already folded per-epoch by the caller; fold the host-side
+        # batch index for a distinct key per step (state.step is a device
+        # array — using it here would force a sync every step)
+        step_rng = jax.random.fold_in(rng, i)
         state, metrics = train_step(state, batch, step_rng)
         if (i + 1) % args.print_freq == 0:
             # sync once per print window only — keeps the device queue full

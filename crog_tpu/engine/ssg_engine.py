@@ -28,7 +28,7 @@ from crog_tpu.utils.meters import AverageMeter, ProgressMeter
 
 _DENSE_KEYS = (
     "img", "boxes", "labels", "obj_valid", "ins_masks", "grasp_qua",
-    "grasp_sin", "grasp_cos", "grasp_wid", "sem_mask",
+    "grasp_sin", "grasp_cos", "grasp_wid",
 )
 
 

@@ -436,3 +436,54 @@ class CLIPRN50(nn.Module):
         vis = self.encode_image(image, train)
         word, state = self.encode_text(text)
         return vis, word, state
+
+
+class CLIPViT(nn.Module):
+    """Dual encoder with the ViT vision tower — the checkpoint family the
+    reference's build_model also accepts (model/clip.py:506-521).  Vision
+    heads follow the reference rule vision_width // 64."""
+
+    embed_dim: int = 512
+    image_resolution: int = 224
+    vision_layers: int = 12
+    vision_width: int = 768
+    vision_patch_size: int = 32
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.visual = VisionTransformer(
+            input_resolution=self.image_resolution,
+            patch_size=self.vision_patch_size,
+            width=self.vision_width,
+            layers=self.vision_layers,
+            heads=self.vision_width // 64,
+            output_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="visual",
+        )
+        self.text = TextTransformer(
+            context_length=self.context_length,
+            vocab_size=self.vocab_size,
+            width=self.transformer_width,
+            heads=self.transformer_heads,
+            layers=self.transformer_layers,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="transformer",
+        )
+
+    def encode_image(self, image, train: bool = False):
+        return self.visual(image.astype(self.dtype), train)
+
+    def encode_text(self, text):
+        return self.text(text)
+
+    def __call__(self, image, text, train: bool = False):
+        vis = self.encode_image(image, train)
+        word, state = self.encode_text(text)
+        return vis, word, state

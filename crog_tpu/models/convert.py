@@ -3,8 +3,10 @@
 The reference builds its backbone by introspecting a torch.jit CLIP archive's
 state_dict and loading it non-strictly (model/clip.py:503-556, model/crog.py:20-23).
 This module reproduces that: ``infer_clip_config`` derives the architecture
-from checkpoint keys, ``convert_clip_state_dict`` lays every tensor into the
-flax param/batch_stats tree of ``crog_tpu.models.clip.CLIPRN50``.  Loading is
+from checkpoint keys (both the ResNet and ViT families, reference
+model/clip.py:506-530), ``convert_clip_state_dict`` lays every tensor into
+the flax param/batch_stats tree of ``CLIPRN50`` / ``CLIPViT``, and
+``build_clip`` instantiates the matching model class.  Loading is
 deliberately non-strict in the same way: keys absent from the checkpoint keep
 their fresh initialization (``use_pretrained_clip=False`` skips loading
 entirely — ablation parity with crog_multiple_r50_wo_clip.yaml).
@@ -42,8 +44,42 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 def infer_clip_config(sd: Dict[str, np.ndarray]) -> Dict:
     """Architecture hyperparameters from checkpoint keys (reference
-    model/clip.py:503-542, ResNet branch)."""
-    assert "visual.layer1.0.conv1.weight" in sd, "only ResNet CLIP supported"
+    model/clip.py:503-542, both the ViT and ResNet branches).  The returned
+    dict carries a ``vision_arch`` discriminator ('resnet' | 'vit') consumed
+    by ``build_clip``; the remaining keys are the model constructor fields.
+    """
+    common = dict(
+        embed_dim=sd["text_projection"].shape[1],
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=sd["ln_final.weight"].shape[0],
+        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_layers=len(
+            set(
+                k.split(".")[2]
+                for k in sd
+                if k.startswith("transformer.resblocks")
+            )
+        ),
+    )
+    if "visual.proj" in sd:  # ViT branch (reference :506-516)
+        patch = sd["visual.conv1.weight"].shape[-1]
+        grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        return dict(
+            vision_arch="vit",
+            image_resolution=patch * grid,
+            vision_layers=len(
+                set(
+                    k.split(".")[3]
+                    for k in sd
+                    if k.startswith("visual.transformer.resblocks")
+                )
+            ),
+            vision_width=sd["visual.conv1.weight"].shape[0],
+            vision_patch_size=patch,
+            **common,
+        )
+    assert "visual.layer1.0.conv1.weight" in sd, "unrecognized CLIP family"
     counts = [
         len(
             set(
@@ -59,22 +95,25 @@ def infer_clip_config(sd: Dict[str, np.ndarray]) -> Dict:
         (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5
     )
     return dict(
-        embed_dim=sd["text_projection"].shape[1],
+        vision_arch="resnet",
         image_resolution=output_width * 32,
         vision_layers=tuple(counts),
         vision_width=vision_width,
-        context_length=sd["positional_embedding"].shape[0],
-        vocab_size=sd["token_embedding.weight"].shape[0],
-        transformer_width=sd["ln_final.weight"].shape[0],
-        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
-        transformer_layers=len(
-            set(
-                k.split(".")[2]
-                for k in sd
-                if k.startswith("transformer.resblocks")
-            )
-        ),
+        **common,
     )
+
+
+def build_clip(cfg: Dict, dtype=None):
+    """Instantiate the flax CLIP matching an inferred config (reference
+    build_model's class dispatch, model/clip.py:540-546)."""
+    import jax.numpy as jnp
+
+    from crog_tpu.models.clip import CLIPRN50, CLIPViT
+
+    cfg = dict(cfg)
+    arch = cfg.pop("vision_arch", "resnet")
+    cls = CLIPViT if arch == "vit" else CLIPRN50
+    return cls(dtype=dtype or jnp.float32, **cfg)
 
 
 def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
@@ -139,6 +178,63 @@ def convert_clip_state_dict(
         _set(params, dst + ("LayerNorm_0", "scale"), sd[f"{src_prefix}.weight"])
         _set(params, dst + ("LayerNorm_0", "bias"), sd[f"{src_prefix}.bias"])
 
+    def text_tower():
+        tr = ("transformer",)
+        _set(params, tr + ("token_embedding",), sd["token_embedding.weight"])
+        _set(params, tr + ("positional_embedding",), sd["positional_embedding"])
+        _set(params, tr + ("text_projection",), sd["text_projection"])
+        ln("ln_final", tr + ("ln_final",))
+        n_blocks = len(
+            set(k.split(".")[2] for k in sd
+                if k.startswith("transformer.resblocks"))
+        )
+        for i in range(n_blocks):
+            src = f"transformer.resblocks.{i}"
+            dst = tr + (f"resblock_{i}",)
+            mha(f"{src}.attn", dst + ("attn",))
+            ln(f"{src}.ln_1", dst + ("ln_1",))
+            ln(f"{src}.ln_2", dst + ("ln_2",))
+            _dense(
+                params, dst + ("mlp_c_fc",),
+                sd[f"{src}.mlp.c_fc.weight"], sd[f"{src}.mlp.c_fc.bias"],
+            )
+            _dense(
+                params, dst + ("mlp_c_proj",),
+                sd[f"{src}.mlp.c_proj.weight"], sd[f"{src}.mlp.c_proj.bias"],
+            )
+
+    if "visual.proj" in sd:
+        # ---- ViT vision tower (reference model/clip.py:506-521) ----
+        vi = ("visual",)
+        _set(params, vi + ("conv1", "kernel"),
+             _conv_kernel(sd["visual.conv1.weight"]))
+        _set(params, vi + ("class_embedding",), sd["visual.class_embedding"])
+        _set(params, vi + ("positional_embedding",),
+             sd["visual.positional_embedding"])
+        _set(params, vi + ("proj",), sd["visual.proj"])
+        ln("visual.ln_pre", vi + ("ln_pre",))
+        ln("visual.ln_post", vi + ("ln_post",))
+        n_blocks = len(
+            set(k.split(".")[3] for k in sd
+                if k.startswith("visual.transformer.resblocks"))
+        )
+        for i in range(n_blocks):
+            src = f"visual.transformer.resblocks.{i}"
+            dst = vi + (f"resblock_{i}",)
+            mha(f"{src}.attn", dst + ("attn",))
+            ln(f"{src}.ln_1", dst + ("ln_1",))
+            ln(f"{src}.ln_2", dst + ("ln_2",))
+            _dense(
+                params, dst + ("mlp_c_fc",),
+                sd[f"{src}.mlp.c_fc.weight"], sd[f"{src}.mlp.c_fc.bias"],
+            )
+            _dense(
+                params, dst + ("mlp_c_proj",),
+                sd[f"{src}.mlp.c_proj.weight"], sd[f"{src}.mlp.c_proj.bias"],
+            )
+        text_tower()
+        return params, stats
+
     # ---- vision stem ----
     for i in (1, 2, 3):
         _set(
@@ -188,28 +284,7 @@ def convert_clip_state_dict(
     bn("visual.attnpool.connect.1", ap + ("connect_bn",))
 
     # ---- text tower ----
-    tr = ("transformer",)
-    _set(params, tr + ("token_embedding",), sd["token_embedding.weight"])
-    _set(params, tr + ("positional_embedding",), sd["positional_embedding"])
-    _set(params, tr + ("text_projection",), sd["text_projection"])
-    ln("ln_final", tr + ("ln_final",))
-    n_blocks = len(
-        set(k.split(".")[2] for k in sd if k.startswith("transformer.resblocks"))
-    )
-    for i in range(n_blocks):
-        src = f"transformer.resblocks.{i}"
-        dst = tr + (f"resblock_{i}",)
-        mha(f"{src}.attn", dst + ("attn",))
-        ln(f"{src}.ln_1", dst + ("ln_1",))
-        ln(f"{src}.ln_2", dst + ("ln_2",))
-        _dense(
-            params, dst + ("mlp_c_fc",),
-            sd[f"{src}.mlp.c_fc.weight"], sd[f"{src}.mlp.c_fc.bias"],
-        )
-        _dense(
-            params, dst + ("mlp_c_proj",),
-            sd[f"{src}.mlp.c_proj.weight"], sd[f"{src}.mlp.c_proj.bias"],
-        )
+    text_tower()
     return params, stats
 
 

@@ -9,9 +9,8 @@ the whole 8-term loss is one fused XLA computation:
     boxes      [B, M, 4]  point-form, normalized
     labels     [B, M]     int class ids (0 padding rows)
     obj_valid  [B, M]     bool
-    ins_masks  [B, M, S, S]
+    ins_masks  [B, M, S, S]   (also the semantic head's GT source)
     grasp_masks{qua,sin,cos,wid} [B, M, S, S]
-    sem_mask   [B, S, S]
 
 Positive-anchor subsampling (masks_to_train, reference :416-421) becomes a
 top-k over randomly-prioritized positives — fixed K shapes, no dynamic
@@ -204,6 +203,10 @@ def ssg_losses(
     pos_iou_thre: float = 0.5,
     neg_iou_thre: float = 0.4,
     masks_to_train: int = 100,
+    # defaults mirror config/OCID-Grasp/ssg_r50.yaml:45-49 (same values as
+    # the reference yaml — alpha_ins 6.126 and alpha_grasp 6.125 really do
+    # differ there); train_ssg.py always passes the config values, which are
+    # the source of truth
     alpha_conf: float = 1.0,
     alpha_bbox: float = 1.5,
     alpha_ins: float = 6.126,

@@ -23,9 +23,11 @@ _TRIED = False
 
 
 def _build() -> bool:
+    # NO -ffast-math and contraction off: the warp kernel places FMAs
+    # exactly where cv2's arithmetic has them (see hostops.cpp header)
     cmd = [
-        "g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
-        "-o", _SO, _SRC,
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+        "-fPIC", "-o", _SO, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -96,11 +98,8 @@ def warp_affine(img: np.ndarray, mat: np.ndarray, out_size, interpolation,
     mat = np.ascontiguousarray(np.asarray(mat, np.float64)).reshape(6)
     out = np.empty((out_h, out_w, c), src.dtype)
     dp = ctypes.POINTER(ctypes.c_double)
-    # axis-aligned matrices (the letterbox and its inverse) take the
-    # separable two-pass kernel: identical output, ~ntaps/2 x the work
-    separable = mat[1] == 0.0 and mat[3] == 0.0
     if src.dtype == np.uint8:
-        fn = lib.warp_axis_aligned_u8 if separable else lib.warp_affine_u8
+        fn = lib.warp_affine_u8
         fn(
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
             mat.ctypes.data_as(dp), out_h, out_w, _INTERP[interpolation],
@@ -108,7 +107,7 @@ def warp_affine(img: np.ndarray, mat: np.ndarray, out_size, interpolation,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
     elif src.dtype == np.float32:
-        fn = lib.warp_axis_aligned_f32 if separable else lib.warp_affine_f32
+        fn = lib.warp_affine_f32
         fn(
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w, c,
             mat.ctypes.data_as(dp), out_h, out_w, _INTERP[interpolation],

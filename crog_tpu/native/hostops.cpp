@@ -7,9 +7,14 @@
 // them natively so the feed can keep a TPU busy from a small host.
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
-// Numerics match crog_tpu.ops exactly: cubic kernel A = -0.75, constant
-// border, even-odd polygon rule, gaussian with truncate=4.0 and edge
-// ('nearest') padding.
+// Numerics: the warp matches cv2.warpAffine (OpenCV 5) ARITHMETIC — float32
+// coordinates from a float32-cast cofactor inverse, FMA-contracted lerps
+// (linear) / FMA-chained 4-tap dots with c3 = 1-c0-c1-c2 coefficients
+// (cubic), round-half-even uint8 rounding — pinned by the vendored cv2
+// goldens in tests/data/cv2_goldens.npz.  Polygon/gaussian match
+// skimage/scipy semantics.  MUST be compiled with -ffp-contract=off and
+// WITHOUT -ffast-math: contraction is applied exactly where cv2 applies it
+// and nowhere else.
 
 #include <algorithm>
 #include <cmath>
@@ -19,33 +24,36 @@
 
 namespace {
 
-constexpr double kCubicA = -0.75;
-
-inline double cubic_k(double x) {
-  x = std::fabs(x);
-  if (x <= 1.0) return ((kCubicA + 2.0) * x - (kCubicA + 3.0)) * x * x + 1.0;
-  if (x < 2.0)
-    return ((kCubicA * x - 5.0 * kCubicA) * x + 8.0 * kCubicA) * x -
-           4.0 * kCubicA;
-  return 0.0;
-}
-
 struct Affine {
   double a, b, c, d, e, f;  // [a b c; d e f]
 };
 
+// cv2.invertAffineTransform cofactor formula (double), see ops/affine.py.
 inline Affine invert(const Affine& m) {
   double det = m.a * m.e - m.b * m.d;
-  double ia = m.e / det, ib = -m.b / det;
-  double id = -m.d / det, ie = m.a / det;
-  return {ia, ib, -(ia * m.c + ib * m.f), id, ie, -(id * m.c + ie * m.f)};
+  det = det != 0.0 ? 1.0 / det : 0.0;
+  double ia = m.e * det, ib = -m.b * det;
+  double id = -m.d * det, ie = m.a * det;
+  return {ia, ib, -ia * m.c - ib * m.f, id, ie, -id * m.c - ie * m.f};
+}
+
+// OpenCV interpolateCubic in float32: last coefficient closes the partition
+// of unity.  Plain mul/add (no contraction; build flags enforce it).
+inline void cubic_coeffs_f32(float f, float* c) {
+  const float A = -0.75f;
+  c[0] = ((A * (f + 1.0f) - 5.0f * A) * (f + 1.0f) + 8.0f * A) * (f + 1.0f) -
+         4.0f * A;
+  c[1] = ((A + 2.0f) * f - (A + 3.0f)) * f * f + 1.0f;
+  c[2] = ((A + 2.0f) * (1.0f - f) - (A + 3.0f)) * (1.0f - f) * (1.0f - f) +
+         1.0f;
+  c[3] = 1.0f - c[0] - c[1] - c[2];
 }
 
 template <typename T>
-inline double tap(const T* img, int h, int w, int c, int x, int y, int ch,
-                  double border) {
+inline float tapf(const T* img, int h, int w, int c, int x, int y, int ch,
+                  float border) {
   if (x < 0 || x >= w || y < 0 || y >= h) return border;
-  return static_cast<double>(img[(static_cast<int64_t>(y) * w + x) * c + ch]);
+  return static_cast<float>(img[(static_cast<int64_t>(y) * w + x) * c + ch]);
 }
 
 template <typename T>
@@ -53,139 +61,70 @@ void warp_affine_impl(const T* src, int sh, int sw, int c, const double* mat,
                       int oh, int ow, int interp /*0 nearest,1 linear,2 cubic*/,
                       const double* border, T* dst) {
   Affine fwd{mat[0], mat[1], mat[2], mat[3], mat[4], mat[5]};
-  Affine inv = invert(fwd);
+  Affine inv64 = invert(fwd);
+  const float ia = static_cast<float>(inv64.a), ib = static_cast<float>(inv64.b),
+              ic = static_cast<float>(inv64.c), id = static_cast<float>(inv64.d),
+              ie = static_cast<float>(inv64.e), iff = static_cast<float>(inv64.f);
+  std::vector<float> bval(c);
+  for (int ch = 0; ch < c; ++ch) {
+    double b = border[ch];
+    if (sizeof(T) == 1) b = std::min(255.0, std::max(0.0, std::nearbyint(b)));
+    bval[ch] = static_cast<float>(b);
+  }
   for (int y = 0; y < oh; ++y) {
+    const float yf = static_cast<float>(y);
     for (int x = 0; x < ow; ++x) {
-      double sx = inv.a * x + inv.b * y + inv.c;
-      double sy = inv.d * x + inv.e * y + inv.f;
+      const float xf = static_cast<float>(x);
+      // float32 coordinate chain, plain mul/add (cv2 parity)
+      float sx = ia * xf + ib * yf + ic;
+      float sy = id * xf + ie * yf + iff;
       for (int ch = 0; ch < c; ++ch) {
-        double v = 0.0;
+        float v = 0.0f;
         if (interp == 0) {
-          int ix = static_cast<int>(std::lround(sx));
-          int iy = static_cast<int>(std::lround(sy));
-          v = tap(src, sh, sw, c, ix, iy, ch, border[ch]);
+          int ix = static_cast<int>(std::nearbyintf(sx));
+          int iy = static_cast<int>(std::nearbyintf(sy));
+          v = tapf(src, sh, sw, c, ix, iy, ch, bval[ch]);
         } else if (interp == 1) {
           int x0 = static_cast<int>(std::floor(sx));
           int y0 = static_cast<int>(std::floor(sy));
-          double fx = sx - x0, fy = sy - y0;
-          v = (1 - fy) * ((1 - fx) * tap(src, sh, sw, c, x0, y0, ch, border[ch]) +
-                          fx * tap(src, sh, sw, c, x0 + 1, y0, ch, border[ch])) +
-              fy * ((1 - fx) * tap(src, sh, sw, c, x0, y0 + 1, ch, border[ch]) +
-                    fx * tap(src, sh, sw, c, x0 + 1, y0 + 1, ch, border[ch]));
+          float fx = sx - static_cast<float>(x0);
+          float fy = sy - static_cast<float>(y0);
+          float v00 = tapf(src, sh, sw, c, x0, y0, ch, bval[ch]);
+          float v01 = tapf(src, sh, sw, c, x0 + 1, y0, ch, bval[ch]);
+          float v10 = tapf(src, sh, sw, c, x0, y0 + 1, ch, bval[ch]);
+          float v11 = tapf(src, sh, sw, c, x0 + 1, y0 + 1, ch, bval[ch]);
+          float p0 = std::fmaf(fx, v01 - v00, v00);
+          float p1 = std::fmaf(fx, v11 - v10, v10);
+          v = std::fmaf(fy, p1 - p0, p0);
         } else {
           int x0 = static_cast<int>(std::floor(sx));
           int y0 = static_cast<int>(std::floor(sy));
-          double fx = sx - x0, fy = sy - y0;
-          double wx[4], wy[4];
-          wx[0] = cubic_k(1.0 + fx); wx[1] = cubic_k(fx);
-          wx[2] = cubic_k(1.0 - fx); wx[3] = cubic_k(2.0 - fx);
-          wy[0] = cubic_k(1.0 + fy); wy[1] = cubic_k(fy);
-          wy[2] = cubic_k(1.0 - fy); wy[3] = cubic_k(2.0 - fy);
-          for (int j = 0; j < 4; ++j)
-            for (int i = 0; i < 4; ++i)
-              v += wy[j] * wx[i] *
-                   tap(src, sh, sw, c, x0 + i - 1, y0 + j - 1, ch, border[ch]);
+          float fx = sx - static_cast<float>(x0);
+          float fy = sy - static_cast<float>(y0);
+          float wx[4], wy[4];
+          cubic_coeffs_f32(fx, wx);
+          cubic_coeffs_f32(fy, wy);
+          float rows[4];
+          for (int j = 0; j < 4; ++j) {
+            float t0 = tapf(src, sh, sw, c, x0 - 1, y0 + j - 1, ch, bval[ch]);
+            float t1 = tapf(src, sh, sw, c, x0, y0 + j - 1, ch, bval[ch]);
+            float t2 = tapf(src, sh, sw, c, x0 + 1, y0 + j - 1, ch, bval[ch]);
+            float t3 = tapf(src, sh, sw, c, x0 + 2, y0 + j - 1, ch, bval[ch]);
+            rows[j] = std::fmaf(
+                wx[3], t3,
+                std::fmaf(wx[2], t2, std::fmaf(wx[1], t1, wx[0] * t0)));
+          }
+          v = std::fmaf(
+              wy[3], rows[3],
+              std::fmaf(wy[2], rows[2],
+                        std::fmaf(wy[1], rows[1], wy[0] * rows[0])));
         }
         int64_t o = (static_cast<int64_t>(y) * ow + x) * c + ch;
-        if (sizeof(T) == 1) {  // uint8: round+clip like the numpy path
-          dst[o] = static_cast<T>(std::min(255.0, std::max(0.0, std::round(v))));
+        if (sizeof(T) == 1) {  // uint8: round-half-even + clip (cv2 parity)
+          dst[o] = static_cast<T>(std::min(
+              255.0f, std::max(0.0f, std::nearbyintf(v))));
         } else {
           dst[o] = static_cast<T>(v);
-        }
-      }
-    }
-  }
-}
-
-// Separable resample along one axis: for each output index, 4 (cubic) or 2
-// (linear) source taps + weights; out-of-range taps take the border value.
-struct AxisTaps {
-  std::vector<int> idx;     // ntaps per output, -1 = border
-  std::vector<double> wgt;
-  int ntaps;
-};
-
-AxisTaps make_axis_taps(int in_size, int out_size, double scale, double offset,
-                        int interp) {
-  AxisTaps t;
-  t.ntaps = interp == 2 ? 4 : (interp == 1 ? 2 : 1);
-  t.idx.resize(static_cast<size_t>(out_size) * t.ntaps);
-  t.wgt.resize(static_cast<size_t>(out_size) * t.ntaps);
-  for (int o = 0; o < out_size; ++o) {
-    double src = scale * o + offset;
-    if (interp == 0) {
-      int i = static_cast<int>(std::lround(src));
-      t.idx[o] = (i >= 0 && i < in_size) ? i : -1;
-      t.wgt[o] = 1.0;
-    } else if (interp == 1) {
-      int x0 = static_cast<int>(std::floor(src));
-      double f = src - x0;
-      int base = o * 2;
-      t.idx[base] = (x0 >= 0 && x0 < in_size) ? x0 : -1;
-      t.wgt[base] = 1.0 - f;
-      t.idx[base + 1] = (x0 + 1 >= 0 && x0 + 1 < in_size) ? x0 + 1 : -1;
-      t.wgt[base + 1] = f;
-    } else {
-      int x0 = static_cast<int>(std::floor(src));
-      double f = src - x0;
-      double w[4] = {cubic_k(1.0 + f), cubic_k(f), cubic_k(1.0 - f),
-                     cubic_k(2.0 - f)};
-      for (int k = 0; k < 4; ++k) {
-        int xi = x0 + k - 1;
-        t.idx[o * 4 + k] = (xi >= 0 && xi < in_size) ? xi : -1;
-        t.wgt[o * 4 + k] = w[k];
-      }
-    }
-  }
-  return t;
-}
-
-// Axis-aligned (no shear/rotation) warp = two 1-D resamples.  Exactly equals
-// the dense 2-D warp for such matrices, at ~(2*ntaps)/(ntaps^2) the work.
-template <typename T>
-void warp_axis_aligned_impl(const T* src, int sh, int sw, int c,
-                            const double* mat, int oh, int ow, int interp,
-                            const double* border, T* dst) {
-  Affine fwd{mat[0], mat[1], mat[2], mat[3], mat[4], mat[5]};
-  Affine inv = invert(fwd);
-  AxisTaps tx = make_axis_taps(sw, ow, inv.a, inv.c, interp);
-  AxisTaps ty = make_axis_taps(sh, oh, inv.e, inv.f, interp);
-  // pass 1: horizontal, src rows -> (sh, ow, c) float
-  std::vector<double> tmp(static_cast<size_t>(sh) * ow * c);
-  for (int y = 0; y < sh; ++y) {
-    const T* row = src + static_cast<int64_t>(y) * sw * c;
-    double* trow = tmp.data() + static_cast<int64_t>(y) * ow * c;
-    for (int x = 0; x < ow; ++x) {
-      for (int ch = 0; ch < c; ++ch) {
-        double acc = 0.0;
-        for (int k = 0; k < tx.ntaps; ++k) {
-          int xi = tx.idx[x * tx.ntaps + k];
-          double v = xi < 0 ? border[ch]
-                            : static_cast<double>(row[xi * c + ch]);
-          acc += tx.wgt[x * tx.ntaps + k] * v;
-        }
-        trow[x * c + ch] = acc;
-      }
-    }
-  }
-  // pass 2: vertical
-  for (int y = 0; y < oh; ++y) {
-    T* orow = dst + static_cast<int64_t>(y) * ow * c;
-    for (int x = 0; x < ow; ++x) {
-      for (int ch = 0; ch < c; ++ch) {
-        double acc = 0.0;
-        for (int k = 0; k < ty.ntaps; ++k) {
-          int yi = ty.idx[y * ty.ntaps + k];
-          double v = yi < 0
-                         ? border[ch]
-                         : tmp[(static_cast<int64_t>(yi) * ow + x) * c + ch];
-          acc += ty.wgt[y * ty.ntaps + k] * v;
-        }
-        if (sizeof(T) == 1) {
-          orow[x * c + ch] =
-              static_cast<T>(std::min(255.0, std::max(0.0, std::round(acc))));
-        } else {
-          orow[x * c + ch] = static_cast<T>(acc);
         }
       }
     }
@@ -196,18 +135,18 @@ void warp_axis_aligned_impl(const T* src, int sh, int sw, int c,
 
 extern "C" {
 
+// cv2's warp is not separable in its per-pixel float32 rounding, so the
+// axis-aligned entry points (kept for ABI stability) share the exact kernel.
 void warp_axis_aligned_u8(const uint8_t* src, int sh, int sw, int c,
                           const double* mat, int oh, int ow, int interp,
                           const double* border, uint8_t* dst) {
-  warp_axis_aligned_impl<uint8_t>(src, sh, sw, c, mat, oh, ow, interp, border,
-                                  dst);
+  warp_affine_impl<uint8_t>(src, sh, sw, c, mat, oh, ow, interp, border, dst);
 }
 
 void warp_axis_aligned_f32(const float* src, int sh, int sw, int c,
                            const double* mat, int oh, int ow, int interp,
                            const double* border, float* dst) {
-  warp_axis_aligned_impl<float>(src, sh, sw, c, mat, oh, ow, interp, border,
-                                dst);
+  warp_affine_impl<float>(src, sh, sw, c, mat, oh, ow, interp, border, dst);
 }
 
 void warp_affine_u8(const uint8_t* src, int sh, int sw, int c,

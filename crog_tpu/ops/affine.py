@@ -61,12 +61,18 @@ def letterbox_transform(ori_size, input_size):
 
 
 def invert_affine(mat: np.ndarray) -> np.ndarray:
+    """2x3 affine inverse by the cofactor formula cv2.invertAffineTransform
+    uses (imgproc) — bit-matching its float64 arithmetic order."""
     m = np.asarray(mat, np.float64)
-    a = m[:, :2]
-    t = m[:, 2]
-    a_inv = np.linalg.inv(a)
-    t_inv = -a_inv @ t
-    return np.concatenate([a_inv, t_inv[:, None]], axis=1)
+    d = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    d = 1.0 / d if d != 0 else 0.0
+    a11 = m[1, 1] * d
+    a22 = m[0, 0] * d
+    a12 = -m[0, 1] * d
+    a21 = -m[1, 0] * d
+    b1 = -a11 * m[0, 2] - a12 * m[1, 2]
+    b2 = -a21 * m[0, 2] - a22 * m[1, 2]
+    return np.array([[a11, a12, b1], [a21, a22, b2]], np.float64)
 
 
 def _cubic_weights(t, xp):
@@ -87,6 +93,29 @@ def _cubic_weights(t, xp):
     return xp.stack([k2(d0), k1(d1), k1(d2), k2(d3)], axis=-1)
 
 
+def _fma32(a, b, c):
+    """fmaf(a, b, c) for float32 arrays, emulated exactly: the f32*f32
+    product is exact in float64 (24+24 < 53 mantissa bits), so one float64
+    add + one rounding to f32 equals the fused result except in
+    vanishing double-rounding corner cases."""
+    return (
+        np.asarray(a, np.float64) * np.asarray(b, np.float64)
+        + np.asarray(c, np.float64)
+    ).astype(np.float32)
+
+
+def _cubic_weights_cv(f: np.ndarray):
+    """OpenCV interpolateCubic (A = -0.75) evaluated in float32 with the
+    last coefficient as 1 - c0 - c1 - c2, matching cv2's arithmetic."""
+    A = np.float32(-0.75)
+    one = np.float32(1.0)
+    f = f.astype(np.float32)
+    c0 = ((A * (f + 1) - 5 * A) * (f + 1) + 8 * A) * (f + 1) - 4 * A
+    c1 = ((A + 2) * f - (A + 3)) * f * f + 1
+    c2 = ((A + 2) * (one - f) - (A + 3)) * (one - f) * (one - f) + 1
+    return [c0, c1, c2, one - c0 - c1 - c2]
+
+
 def warp_affine_np(
     img: np.ndarray,
     mat: np.ndarray,
@@ -94,12 +123,29 @@ def warp_affine_np(
     interpolation: str = "linear",
     border_value=0.0,
 ) -> np.ndarray:
-    """Host warpAffine: ``dst(x,y) = src(M^-1 @ (x,y,1))``.
+    """Host warpAffine with cv2 (OpenCV 5) arithmetic parity.
 
-    ``out_size`` is (width, height) to match the cv2 call convention used by
-    the reference.  ``img`` is HW or HWC.  Border handling is constant.
-    Dispatches to the native C++ kernel when built (bit-identical); the numpy
-    path below is the fallback and the reference for tests.
+    ``dst(x,y) = src(M^-1 @ (x,y,1))``; ``out_size`` is (width, height) to
+    match the cv2 call convention used by the reference
+    (utils/dataset.py:858-890).  ``img`` is HW or HWC uint8/float32; border
+    is constant.
+
+    Parity model (established empirically against cv2 5.0 and pinned by the
+    vendored goldens in tests/data/cv2_goldens.npz):
+      * inverse matrix by the cofactor formula in float64, cast to float32;
+      * source coordinates ``inv @ (x, y, 1)`` computed in float32;
+      * linear: two x-lerps then a y-lerp, each ``v0 + f*(v1-v0)`` with FMA
+        contraction;
+      * cubic: float32 coefficient polynomials (c3 = 1-c0-c1-c2) and
+        FMA-chained 4-tap dot products, rows then columns;
+      * nearest: round-half-even of the float32 coordinates;
+      * uint8: borderValue saturate_cast to uint8 first; final value
+        round-half-even then clipped.
+    Result: nearest/linear are BIT-EXACT vs cv2; cubic matches except
+    <0.005% of pixels off by exactly 1 (both sides of a rounding boundary).
+
+    Dispatches to the native C++ kernel when built (same model, true fmaf);
+    the numpy path below is the fallback and the reference for tests.
     """
     if img.dtype in (np.uint8, np.float32):
         from crog_tpu import native
@@ -108,10 +154,10 @@ def warp_affine_np(
         if out is not None:
             return out
     out_w, out_h = out_size
-    inv = invert_affine(mat)
-    xs = np.arange(out_w, dtype=np.float64)
-    ys = np.arange(out_h, dtype=np.float64)
-    gx, gy = np.meshgrid(xs, ys)
+    inv = invert_affine(mat).astype(np.float32)
+    gx, gy = np.meshgrid(
+        np.arange(out_w, dtype=np.float32), np.arange(out_h, dtype=np.float32)
+    )
     sx = inv[0, 0] * gx + inv[0, 1] * gy + inv[0, 2]
     sy = inv[1, 0] * gx + inv[1, 1] * gy + inv[1, 2]
 
@@ -120,63 +166,60 @@ def warp_affine_np(
         img = img[..., None]
     h, w, c = img.shape
     border = np.broadcast_to(np.asarray(border_value, np.float64), (c,))
+    if img.dtype == np.uint8:
+        border = np.clip(np.rint(border), 0, 255)
+    border = border.astype(np.float32)
 
     if interpolation == "nearest":
-        ix = np.round(sx).astype(np.int64)
-        iy = np.round(sy).astype(np.int64)
+        ix = np.rint(sx).astype(np.int64)
+        iy = np.rint(sy).astype(np.int64)
         inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
         out = np.where(
             inside[..., None],
-            img[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)].astype(np.float64),
+            img[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)],
+            border.astype(img.dtype),
+        )
+        return out[..., 0] if squeeze else out
+
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0).astype(np.float32)[..., None]
+    fy = (sy - y0).astype(np.float32)[..., None]
+
+    def tap(xi, yi):
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        return np.where(
+            inside[..., None],
+            img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)].astype(np.float32),
             border,
         )
-    elif interpolation == "linear":
-        x0 = np.floor(sx).astype(np.int64)
-        y0 = np.floor(sy).astype(np.int64)
-        fx = sx - x0
-        fy = sy - y0
-        out = np.zeros((out_h, out_w, c), np.float64)
-        for dy in (0, 1):
-            wy = np.where(dy == 0, 1.0 - fy, fy)
-            for dx in (0, 1):
-                wx = np.where(dx == 0, 1.0 - fx, fx)
-                xi = x0 + dx
-                yi = y0 + dy
-                inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-                v = np.where(
-                    inside[..., None],
-                    img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)].astype(
-                        np.float64
-                    ),
-                    border,
-                )
-                out += (wy * wx)[..., None] * v
+
+    if interpolation == "linear":
+        v00, v01 = tap(x0, y0), tap(x0 + 1, y0)
+        v10, v11 = tap(x0, y0 + 1), tap(x0 + 1, y0 + 1)
+        p0 = _fma32(fx, v01 - v00, v00)
+        p1 = _fma32(fx, v11 - v10, v10)
+        out = _fma32(fy, p1 - p0, p0)
     elif interpolation == "cubic":
-        x0 = np.floor(sx).astype(np.int64)
-        y0 = np.floor(sy).astype(np.int64)
-        fx = sx - x0
-        fy = sy - y0
-        wxs = _cubic_weights(fx, np)  # (H, W, 4)
-        wys = _cubic_weights(fy, np)
-        out = np.zeros((out_h, out_w, c), np.float64)
-        for j in range(4):
-            yi = y0 + (j - 1)
-            for i in range(4):
-                xi = x0 + (i - 1)
-                inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-                v = np.where(
-                    inside[..., None],
-                    img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)].astype(
-                        np.float64
-                    ),
-                    border,
-                )
-                out += (wys[..., j] * wxs[..., i])[..., None] * v
+        wxs = _cubic_weights_cv(fx)
+        wys = _cubic_weights_cv(fy)
+
+        def dot4(wgt, vals):
+            return _fma32(
+                wgt[3], vals[3],
+                _fma32(wgt[2], vals[2], _fma32(wgt[1], vals[1], wgt[0] * vals[0])),
+            )
+
+        rows = [
+            dot4(wxs, [tap(x0 + i - 1, y0 + j - 1) for i in range(4)])
+            for j in range(4)
+        ]
+        out = dot4(wys, rows)
     else:
         raise ValueError(f"unknown interpolation {interpolation}")
 
     if img.dtype == np.uint8:
-        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+        out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
     else:
         out = out.astype(img.dtype)
     return out[..., 0] if squeeze else out

@@ -29,10 +29,19 @@ def peak_local_max_np(
 ) -> np.ndarray:
     """skimage.feature.peak_local_max equivalent (exclude_border=min_distance).
 
+    Semantics of modern scikit-image (>= 0.19, what the reference's unpinned
+    install resolves to): candidates are window maxima of the
+    (2*min_distance+1)^2 maximum_filter (mode='constant', ties included),
+    strictly above threshold, borders excluded; sorted by intensity
+    descending (stable, so row-major among equals); then ensure_spacing
+    greedily drops any candidate within CHEBYSHEV distance <= min_distance
+    of an already-accepted peak (this only bites for equal-valued plateau
+    peaks — unequal neighbors are already removed by the max filter).
+
     Returns [K, 2] (row, col) coordinates sorted by intensity descending.
     """
-    size = 2 * min_distance + 1
     image = np.asarray(image, np.float64)
+    size = 2 * min_distance + 1
     max_filt = ndimage.maximum_filter(image, size=size, mode="constant", cval=0.0)
     mask = (image == max_filt) & (image > threshold_abs)
     # exclude borders
@@ -46,7 +55,13 @@ def peak_local_max_np(
         return coords
     order = np.argsort(-image[coords[:, 0], coords[:, 1]], kind="stable")
     coords = coords[order]
-    return coords[:num_peaks]
+    kept: list = []
+    for rc in coords:
+        if all(np.max(np.abs(rc - k)) > min_distance for k in kept):
+            kept.append(rc)
+            if len(kept) >= num_peaks:
+                break
+    return np.asarray(kept).reshape(-1, 2)
 
 
 def detect_grasps_np(qua, sin, cos, wid, num_grasps=5, max_width=100.0):
@@ -135,10 +150,29 @@ def detect_grasp_peaks(
     is_peak = is_peak & border
 
     score = jnp.where(is_peak, qf, -jnp.inf).reshape(b, h * w)
-    top_vals, top_idx = jax.lax.top_k(score, num_peaks)
-    valid = jnp.isfinite(top_vals)
-    pr = top_idx // w
-    pc = top_idx % w
+    # over-fetch candidates, then ensure_spacing (skimage >= 0.19): greedily
+    # drop any candidate within Chebyshev distance <= min_distance of an
+    # already-accepted one.  Only equal-valued plateau peaks survive the max
+    # filter that close together, so a small candidate pool suffices.
+    # lax.top_k tie-breaks by lower index = row-major, matching the stable
+    # intensity sort of the host version.
+    k2 = min(max(4 * num_peaks, num_peaks + 4), h * w)
+    top_vals, top_idx = jax.lax.top_k(score, k2)
+    cand_valid = jnp.isfinite(top_vals)
+    cr = top_idx // w
+    cc = top_idx % w
+    kept = jnp.zeros((b, k2), bool)
+    for i in range(k2):
+        cheb = jnp.maximum(
+            jnp.abs(cr - cr[:, i : i + 1]), jnp.abs(cc - cc[:, i : i + 1])
+        )
+        conflict = (kept & (cheb <= min_distance)).any(axis=1)
+        kept = kept.at[:, i].set(cand_valid[:, i] & ~conflict)
+    order = jnp.argsort(~kept, axis=1, stable=True)  # kept first, score order
+    sel = order[:, :num_peaks]
+    pr = jnp.take_along_axis(cr, sel, axis=1)
+    pc = jnp.take_along_axis(cc, sel, axis=1)
+    valid = jnp.take_along_axis(kept, sel, axis=1)
 
     ang = jnp.arctan2(sin, cos) / 2.0
     batch_idx = jnp.arange(b)[:, None]

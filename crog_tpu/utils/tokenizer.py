@@ -9,8 +9,9 @@ Differences from the reference implementation, none behavior-visible for the
 OCID-VLG corpus:
   * ftfy text fixing is applied only when ftfy is importable (it is pure
     mojibake repair; the OCID-VLG referring expressions are plain ASCII).
-  * the merge loop is implemented with a rank table + heap-free scan, same
-    output by construction of BPE determinism.
+  * the merge loop is the canonical greedy lowest-rank-pair algorithm —
+    byte-level BPE has essentially one correct implementation and bitwise
+    token parity with CLIP is a hard requirement (golden-token tests).
 """
 
 from __future__ import annotations

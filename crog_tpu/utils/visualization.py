@@ -105,3 +105,55 @@ def draw_proto_lincomb(protos: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
                 nonlin > 0.5
             )
     return grid
+
+
+def visualize_gt_sample(
+    sample,
+    save_path: str,
+    annotated: Optional[np.ndarray] = None,
+):
+    """GT debug figure for a preprocessed dataset sample (reference
+    OCIDVLGDataset.visualization, utils/dataset.py:976-1039): RGB / depth /
+    instance mask / annotated grasps / quality / sin / cos / width panels.
+
+    ``sample`` is a crog_tpu dataset item (normalized HWC img, /255 masks,
+    radian angles); ``annotated`` is an optional raw-resolution RGB with GT
+    rects drawn (grasp coordinates live in original image space).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from crog_tpu.data.ocid_vlg import CLIP_MEAN, CLIP_STD
+
+    img = np.asarray(sample["img"], np.float32)
+    img = np.clip(img * CLIP_STD + CLIP_MEAN, 0.0, 1.0)
+    panels = [(img, "RGB", {})]
+    if "depth" in sample:
+        panels.append((np.asarray(sample["depth"]), "Depth", dict(cmap="gray")))
+    panels.append((np.asarray(sample["mask"]), "Segm Mask", {}))
+    if annotated is not None:
+        panels.append((annotated, "Box & Grasp", {}))
+    for key, title, kw in (
+        ("qua", "Grasp quality", dict(cmap="jet", vmin=0, vmax=1)),
+        ("sin", "Angle-sine", dict(cmap="rainbow", vmin=-1, vmax=1)),
+        ("cos", "Angle-cosine", dict(cmap="rainbow", vmin=-1, vmax=1)),
+        ("wid", "Width", dict(cmap="jet", vmin=0, vmax=1)),
+    ):
+        if key in sample:
+            panels.append((np.asarray(sample[key]), title, kw))
+    fig = plt.figure(figsize=(25, 10))
+    for i, (data, title, kw) in enumerate(panels, start=1):
+        ax = fig.add_subplot(2, 4, i)
+        im = ax.imshow(data, **kw)
+        ax.set_title(title)
+        ax.axis("off")
+        if "vmin" in kw:
+            plt.colorbar(im)
+    plt.suptitle(str(sample.get("sentence", "")), fontsize=20)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path

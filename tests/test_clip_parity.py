@@ -17,15 +17,19 @@ DATA = os.path.join(os.path.dirname(__file__), "data", "clip_parity.npz")
 
 @pytest.mark.skipif(not os.path.exists(DATA), reason="golden data missing")
 def test_clip_forward_matches_reference_golden():
-    from crog_tpu.models.clip import CLIPRN50
-    from crog_tpu.models.convert import convert_clip_state_dict, infer_clip_config
+    from crog_tpu.models.convert import (
+        build_clip,
+        convert_clip_state_dict,
+        infer_clip_config,
+    )
 
     z = np.load(DATA)
     sd = {k[4:]: z[k] for k in z.files if k.startswith("sd::")}
     cfg = infer_clip_config(sd)
+    assert cfg["vision_arch"] == "resnet"
     assert cfg["vision_layers"] == (1, 1, 1, 1)
     params, stats = convert_clip_state_dict(sd)
-    model = CLIPRN50(dtype=jnp.float32, **cfg)
+    model = build_clip(cfg, dtype=jnp.float32)
     variables = {"params": params, "batch_stats": stats}
 
     img = jnp.asarray(np.transpose(z["img"], (0, 2, 3, 1)))

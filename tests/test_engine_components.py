@@ -138,3 +138,15 @@ def test_jacquard_index_semantics():
     # width clipped to 100 on GT
     gt_wide = [[100.0, 100.0, 400.0, 20.0, 0.0, 1.0]]
     assert jacquard_index([[100.0, 100.0, 100.0, 20.0, 0.0]], gt_wide) == 1
+
+
+def test_visualize_gt_sample_renders(tmp_path):
+    """GT visualization (reference utils/dataset.py:976-1039 equivalent)."""
+    from crog_tpu.data.synthetic import SyntheticOCIDVLG
+    from crog_tpu.utils.visualization import visualize_gt_sample
+
+    ds = SyntheticOCIDVLG(num_samples=2, input_size=64)
+    out = visualize_gt_sample(ds[0], str(tmp_path / "gt.png"))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 1000

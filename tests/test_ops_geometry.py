@@ -1,5 +1,7 @@
 import numpy as np
 
+import jax.numpy as jnp
+
 from crog_tpu.ops.affine import (
     get_affine_transform,
     invert_affine,
@@ -152,3 +154,69 @@ def test_gaussian_blur_jax_matches_scipy():
     ref = gaussian_blur_np(img, 2.0)
     got = np.asarray(gaussian_blur_jax(img, 2.0))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_peak_ensure_spacing_drops_equal_plateau_peaks():
+    """skimage >= 0.19 applies ensure_spacing after the max filter: two
+    EQUAL peaks within Chebyshev distance <= min_distance both survive the
+    filter but only the first (row-major among equals) is kept."""
+    img = np.zeros((32, 32))
+    img[10, 10] = 0.9
+    img[10, 12] = 0.9  # tie, Chebyshev distance 2 -> suppressed
+    img[12, 12] = 0.9  # tie, Chebyshev distance 2 from both -> suppressed
+    img[20, 20] = 0.8
+    peaks = peak_local_max_np(img, min_distance=2, threshold_abs=0.4, num_peaks=5)
+    assert peaks.tolist() == [[10, 10], [20, 20]]
+    # spacing strictly greater than min_distance survives
+    img2 = np.zeros((32, 32))
+    img2[10, 10] = 0.9
+    img2[10, 13] = 0.9  # distance 3 > min_distance: kept
+    peaks2 = peak_local_max_np(img2, 2, 0.4, 5)
+    assert peaks2.tolist() == [[10, 10], [10, 13]]
+
+
+def test_detect_grasp_peaks_device_ensure_spacing_and_refill():
+    """Device version: suppressed ties free slots for lower peaks, matching
+    the host semantics."""
+    qua = np.zeros((1, 64, 64), np.float32)
+    coords = [(10, 10), (10, 12), (30, 30), (40, 50), (50, 20), (20, 44),
+              (44, 8)]
+    vals = [0.9, 0.9, 0.8, 0.7, 0.65, 0.6, 0.55]
+    for (r, c), v in zip(coords, vals):
+        qua[0, r, c] = v
+    sin = np.zeros_like(qua)
+    cos = np.ones_like(qua)
+    wid = np.full_like(qua, 0.5)
+    rects, valid = detect_grasp_peaks(
+        jnp.asarray(qua), jnp.asarray(sin), jnp.asarray(cos), jnp.asarray(wid),
+        num_peaks=5,
+    )
+    rects = np.asarray(rects)[0]
+    valid = np.asarray(valid)[0]
+    host = peak_local_max_np(qua[0], 2, 0.4, 5)
+    got = [(int(rects[k, 1]), int(rects[k, 0])) for k in range(5) if valid[k]]
+    assert got == [tuple(p) for p in host.tolist()]
+    # (10,12) suppressed -> 5 peaks still returned from the remaining pool
+    assert len(got) == 5 and (10, 12) not in got
+
+
+def test_detect_grasp_peaks_per_sample_valid_extent():
+    """Peaks within min_distance of a sample's own (padded) border are
+    excluded, like the reference's per-sample original-size eval."""
+    qua = np.zeros((2, 40, 40), np.float32)
+    qua[0, 28, 28] = 0.9   # inside sample 0's 30x30 extent border -> excluded
+    qua[0, 20, 20] = 0.8
+    qua[1, 28, 28] = 0.9   # sample 1 is full size -> kept
+    sin = np.zeros_like(qua); cos = np.ones_like(qua); wid = np.ones_like(qua)
+    valid_hw = np.array([[30, 30], [40, 40]], np.int32)
+    rects, valid = detect_grasp_peaks(
+        jnp.asarray(qua), jnp.asarray(sin), jnp.asarray(cos), jnp.asarray(wid),
+        num_peaks=5, valid_hw=jnp.asarray(valid_hw),
+    )
+    rects = np.asarray(rects); valid = np.asarray(valid)
+    got0 = [(int(rects[0, k, 1]), int(rects[0, k, 0])) for k in range(5)
+            if valid[0, k]]
+    got1 = [(int(rects[1, k, 1]), int(rects[1, k, 0])) for k in range(5)
+            if valid[1, k]]
+    assert got0 == [(20, 20)]
+    assert got1 == [(28, 28)]

@@ -104,7 +104,7 @@ def test_losses_finite_and_grad(ssg_setup):
         k: jnp.asarray(batch[k])
         for k in (
             "boxes", "labels", "obj_valid", "ins_masks", "grasp_qua",
-            "grasp_sin", "grasp_cos", "grasp_wid", "sem_mask",
+            "grasp_sin", "grasp_cos", "grasp_wid",
         )
     }
     total, loss_dict = ssg_losses(

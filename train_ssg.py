@@ -92,7 +92,7 @@ def main():
         out = dict(batch)
         for k in (
             "img", "boxes", "labels", "obj_valid", "ins_masks", "grasp_qua",
-            "grasp_sin", "grasp_cos", "grasp_wid", "sem_mask",
+            "grasp_sin", "grasp_cos", "grasp_wid",
         ):
             out[k] = jax.device_put(batch[k], sharding)
         return out
