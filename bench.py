@@ -1,16 +1,27 @@
 """Benchmark: CROG training throughput on the attached TPU.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 North-star (BASELINE.md): OCID-VLG img+text->grasp TRAINING samples/sec/chip.
 Reference baseline: ~22 samples/s global on 2x RTX 4090 (README.md:31 derived)
-= 11 samples/s/chip; vs_baseline is our per-chip rate over 11.
+= 11 samples/s/chip; vs_baseline is our per-chip rate over 11.  The
+reference's number is END TO END (torch DataLoader feeding the step), so the
+line carries both views:
 
-Protocol: flagship CROG (RN50, 416 px, word 17, bf16 compute), full jitted
-train step (fwd + losses + bwd + Adam + BN stats) on a synthetic batch held
-on device, batch 24 per chip (the reference's global batch), timed over
-steady-state steps with block_until_ready.
+  value / "samples/s/chip"     compute-only: full jitted train step (fwd +
+                               losses + bwd + Adam + BN stats) on a synthetic
+                               batch held on device, batch 24 per chip, timed
+                               over steady-state steps.
+  "e2e_samples_s_per_chip"     host pipeline in the loop: SyntheticOCIDVLG
+                               (GraspTransforms raster + gaussian + letterbox
+                               warp, the same ops the real dataset runs) ->
+                               threaded DataLoader -> device_put -> train
+                               step, one pass, wall clock.
+  "pallas_fused_attention"     true iff the lowered train step contains the
+                               Pallas custom call (the ops/attention.py:29
+                               backend gate engaged — a silent XLA fallback
+                               would cost the fused-attention win).
 """
 
 from __future__ import annotations
@@ -22,6 +33,74 @@ import time
 import numpy as np
 
 PER_CHIP_BASELINE = 11.0  # samples/s/chip, 2x RTX 4090 -> 22 global
+
+
+def synthetic_device_batch(b):
+    rng = np.random.RandomState(0)
+    return {
+        "img": rng.randn(b, 416, 416, 3).astype(np.float32) * 0.5,
+        "word": np.concatenate(
+            [
+                np.full((b, 1), 49406, np.int32),
+                rng.randint(1000, 40000, (b, 8)).astype(np.int32),
+                np.full((b, 1), 49407, np.int32),
+                np.zeros((b, 7), np.int32),
+            ],
+            axis=1,
+        ),
+        "mask": (rng.rand(b, 416, 416) > 0.8).astype(np.float32),
+        "qua": rng.rand(b, 416, 416).astype(np.float32),
+        "sin": rng.uniform(-1, 1, (b, 416, 416)).astype(np.float32),
+        "cos": rng.uniform(-1, 1, (b, 416, 416)).astype(np.float32),
+        "wid": rng.rand(b, 416, 416).astype(np.float32),
+    }
+
+
+def check_pallas_engaged(train_step, state, batch, key) -> bool:
+    """Lower (no compile) the jitted step and look for the TPU Pallas custom
+    call; on TPU the fused attention MUST be present (ops/attention.py gate)."""
+    import jax
+
+    dense = {k: batch[k] for k in train_step._dense_keys if k in batch}
+    txt = train_step._jitted.lower(state, dense, key).as_text()
+    return ("tpu_custom_call" in txt) or ("pallas" in txt.lower())
+
+
+def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
+    """One pass of the real host pipeline feeding the jitted step."""
+    import jax
+
+    from crog_tpu.data.loader import DataLoader, device_put_crog
+    from crog_tpu.data.synthetic import SyntheticOCIDVLG
+
+    b = per_chip_batch * n_chips
+    n_batches = int(os.environ.get("BENCH_E2E_BATCHES", "12"))
+    ds = SyntheticOCIDVLG(num_samples=b * (n_batches + 2), split="train")
+    loader = DataLoader(
+        ds,
+        batch_size=b,
+        shuffle=True,
+        drop_last=True,
+        num_workers=max(4, os.cpu_count() or 1),
+        device_put_fn=lambda batch: device_put_crog(batch, sharding),
+        prefetch=2,
+    )
+    it = iter(loader)
+    # warmup: first batches hide pool spin-up + any residual compile
+    for _ in range(2):
+        state, metrics = train_step(state, next(it), key)
+    float(jax.device_get(metrics["loss"]))
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        state, metrics = train_step(state, batch, key)
+        n += batch["img"].shape[0]
+        if n >= n_batches * b:
+            break
+    loss = float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f"non-finite e2e loss {loss}"
+    return n / dt / n_chips
 
 
 def main():
@@ -46,24 +125,7 @@ def main():
         dtype=jnp.bfloat16,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
-    rng = np.random.RandomState(0)
-    batch_np = {
-        "img": rng.randn(b, 416, 416, 3).astype(np.float32) * 0.5,
-        "word": np.concatenate(
-            [
-                np.full((b, 1), 49406, np.int32),
-                rng.randint(1000, 40000, (b, 8)).astype(np.int32),
-                np.full((b, 1), 49407, np.int32),
-                np.zeros((b, 7), np.int32),
-            ],
-            axis=1,
-        ),
-        "mask": (rng.rand(b, 416, 416) > 0.8).astype(np.float32),
-        "qua": rng.rand(b, 416, 416).astype(np.float32),
-        "sin": rng.uniform(-1, 1, (b, 416, 416)).astype(np.float32),
-        "cos": rng.uniform(-1, 1, (b, 416, 416)).astype(np.float32),
-        "wid": rng.rand(b, 416, 416).astype(np.float32),
-    }
+    batch_np = synthetic_device_batch(b)
     sharding = data_sharding(mesh)
     batch = {k: jax.device_put(v, sharding) for k, v in batch_np.items()}
 
@@ -90,6 +152,13 @@ def main():
     train_step = make_train_step(model, tx)
 
     key = jax.random.PRNGKey(1)
+    pallas_ok = check_pallas_engaged(train_step, state, batch, key)
+    if jax.default_backend() == "tpu":
+        assert pallas_ok, (
+            "fused Pallas attention did NOT engage in the lowered train step "
+            "(ops/attention.py gate fell back to plain XLA attention)"
+        )
+
     # warmup / compile; device_get forces real completion (on the axon
     # remote platform block_until_ready returns before execution finishes,
     # so it cannot be used for timing)
@@ -110,16 +179,25 @@ def main():
 
     global_sps = b / dt
     per_chip = global_sps / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "crog_train_throughput_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(per_chip / PER_CHIP_BASELINE, 3),
-            }
+
+    e2e_per_chip = None
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        e2e_per_chip = bench_e2e(
+            train_step, state, key, per_chip_batch, n_chips, sharding
         )
-    )
+
+    out = {
+        "metric": "crog_train_throughput_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(per_chip / PER_CHIP_BASELINE, 3),
+        "pallas_fused_attention": bool(pallas_ok),
+    }
+    if e2e_per_chip is not None:
+        out["e2e_samples_s_per_chip"] = round(e2e_per_chip, 2)
+        out["e2e_vs_baseline"] = round(e2e_per_chip / PER_CHIP_BASELINE, 3)
+        out["host_cores"] = os.cpu_count()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

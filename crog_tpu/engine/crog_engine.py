@@ -123,6 +123,10 @@ def make_train_step(model, tx, use_grasp_masks: bool = True):
         dense = {k: batch[k] for k in _TRAIN_KEYS if k in batch}
         return jitted(state, dense, rng)
 
+    # expose the jitted step so callers can .lower() it (bench.py inspects
+    # the HLO to prove the fused Pallas attention path engaged)
+    wrapped._jitted = jitted
+    wrapped._dense_keys = _TRAIN_KEYS
     return wrapped
 
 
