@@ -75,7 +75,10 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
 
     b = per_chip_batch * n_chips
     n_batches = int(os.environ.get("BENCH_E2E_BATCHES", "12"))
-    ds = SyntheticOCIDVLG(num_samples=b * (n_batches + 2), split="train")
+    ds = SyntheticOCIDVLG(
+        num_samples=b * (n_batches + 2), split="train",
+        compact=os.environ.get("BENCH_COMPACT", "1") == "1",
+    )
     loader = DataLoader(
         ds,
         batch_size=b,
@@ -94,7 +97,7 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
     n = 0
     for batch in it:
         state, metrics = train_step(state, batch, key)
-        n += batch["img"].shape[0]
+        n += batch.get("img", batch.get("img_u8")).shape[0]
         if n >= n_batches * b:
             break
     loss = float(jax.device_get(metrics["loss"]))

@@ -24,7 +24,7 @@ def collate_crog(samples: List[Dict]) -> Dict:
     batch: Dict = {}
     stack_keys = (
         "img", "mask", "qua", "sin", "cos", "wid", "ang", "word", "inverse",
-        "ori_size",
+        "ori_size", "img_u8", "planes_u8",
     )
     for k in stack_keys:
         if k in samples[0]:
@@ -103,8 +103,26 @@ def pad_batch(batch: Dict, batch_size: int, n_valid: int) -> Dict:
     return out
 
 
+_PROC_DS = None
+
+
+def _proc_init(dataset):
+    global _PROC_DS
+    _PROC_DS = dataset
+
+
+def _proc_get(i):
+    return _PROC_DS[i]
+
+
 class DataLoader:
-    """Threaded loader with optional device placement + prefetch."""
+    """Threaded loader with optional device placement + prefetch.
+
+    ``num_procs > 0`` switches __getitem__ to a persistent PROCESS pool
+    (torch DataLoader's num_workers equivalent) — on multi-core hosts the
+    preprocessing (decode, warp, raster) scales with cores instead of
+    fighting the GIL; the GIL-releasing native ops make threads sufficient
+    only when the Python-side share of __getitem__ is small."""
 
     def __init__(
         self,
@@ -120,6 +138,7 @@ class DataLoader:
         num_hosts: int = 1,
         host_id: int = 0,
         pad_last_batch: bool = False,
+        num_procs: int = 0,
     ):
         self.dataset = dataset
         self.sampler = EpochSampler(
@@ -129,6 +148,7 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.device_put_fn = device_put_fn
         self.num_workers = max(1, num_workers)
+        self.num_procs = num_procs
         self.prefetch = prefetch
         self.batch_size = batch_size
         self.pad_last_batch = pad_last_batch
@@ -139,11 +159,26 @@ class DataLoader:
     def __len__(self):
         return len(self.sampler)
 
-    def _pool(self) -> ThreadPoolExecutor:
+    def _pool(self):
         # persistent worker pool across epochs (the reference needed a
         # MultiEpochsDataLoader wrapper for this, utils/misc.py:311-340)
         if getattr(self, "_workers", None) is None:
-            self._workers = ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_procs > 0:
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
+
+                self._workers = ProcessPoolExecutor(
+                    max_workers=self.num_procs,
+                    mp_context=multiprocessing.get_context("fork"),
+                    initializer=_proc_init,
+                    initargs=(self.dataset,),
+                )
+                self._getter = _proc_get
+            else:
+                self._workers = ThreadPoolExecutor(
+                    max_workers=self.num_workers
+                )
+                self._getter = self.dataset.__getitem__
         return self._workers
 
     def _produce(self, q: queue.Queue, stop: threading.Event):
@@ -152,7 +187,7 @@ class DataLoader:
             for batch_idx in self.sampler.batches():
                 if stop.is_set():
                     break
-                samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                samples = list(pool.map(self._getter, batch_idx))
                 batch = self.collate_fn(samples)
                 if self.pad_last_batch and len(batch_idx) < self.batch_size:
                     batch = pad_batch(batch, self.batch_size, len(batch_idx))
@@ -202,10 +237,11 @@ def device_put_crog(batch: Dict, sharding=None) -> Dict:
             k: jax.make_array_from_process_local_data(sharding, v)
             for k, v in dense.items()
         }
-    elif sharding is not None:
-        dense = {k: jax.device_put(v, sharding) for k, v in dense.items()}
     else:
-        dense = {k: jax.device_put(v) for k, v in dense.items()}
+        # ONE device_put call for the whole dict: per-array puts cost a
+        # full host<->device round trip EACH (~250 ms on a remote/tunneled
+        # device — 5x the batched transfer time for a CROG batch)
+        dense = jax.device_put(dense, sharding)
     out = dict(batch)
     out.update(dense)
     return out

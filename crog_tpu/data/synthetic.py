@@ -38,7 +38,9 @@ class SyntheticOCIDVLG:
         word_length: int = 17,
         ori_hw=(480, 640),
         seed: int = 0,
+        compact: bool = False,
     ):
+        self.compact = compact
         self.num_samples = num_samples
         self.split = split
         self.input_size = (input_size, input_size)

@@ -74,6 +74,9 @@ def train_metrics(pred_logits, target_mask, threshold=0.35, pr_iou=0.5):
 
 _TRAIN_KEYS = ("img", "word", "mask", "qua", "sin", "cos", "wid")
 _EVAL_KEYS = ("img", "word", "mask", "inverse", "ori_size")
+# compact uint8 wire format (crog_tpu.data.compact): unpacked inside the jit
+_TRAIN_KEYS_C = ("img_u8", "planes_u8", "word")
+_EVAL_KEYS_C = ("img_u8", "planes_u8", "word", "inverse", "ori_size")
 
 
 def make_train_step(model, tx, use_grasp_masks: bool = True):
@@ -81,6 +84,10 @@ def make_train_step(model, tx, use_grasp_masks: bool = True):
     dense device fields only (ragged host fields are stripped)."""
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng) -> Any:
+        if "img_u8" in batch:
+            from crog_tpu.data.compact import unpack_compact
+
+            batch = unpack_compact(batch)
         img = batch["img"]
         word = batch["word"]
         targets = {
@@ -120,7 +127,8 @@ def make_train_step(model, tx, use_grasp_masks: bool = True):
     jitted = jax.jit(step, donate_argnums=(0,))
 
     def wrapped(state, batch, rng):
-        dense = {k: batch[k] for k in _TRAIN_KEYS if k in batch}
+        keys = _TRAIN_KEYS_C if "img_u8" in batch else _TRAIN_KEYS
+        dense = {k: batch[k] for k in keys if k in batch}
         return jitted(state, dense, rng)
 
     # expose the jitted step so callers can .lower() it (bench.py inspects
@@ -166,6 +174,10 @@ def make_eval_step(
     hi = jax.lax.Precision.HIGHEST
 
     def step(variables, batch):
+        if "img_u8" in batch:
+            from crog_tpu.data.compact import unpack_compact
+
+            batch = unpack_compact(batch)
         img = batch["img"]
         word = batch["word"]
         preds = model.apply(variables, img, word, train=False)
@@ -219,7 +231,8 @@ def make_eval_step(
     jitted = jax.jit(step)
 
     def wrapped(variables, batch):
-        dense = {k: batch[k] for k in _EVAL_KEYS if k in batch}
+        keys = _EVAL_KEYS_C if "img_u8" in batch else _EVAL_KEYS
+        dense = {k: batch[k] for k in keys if k in batch}
         return jitted(variables, dense)
 
     return wrapped
@@ -349,6 +362,9 @@ def inference_with_grasp(
         counter = {"batch": 0}
 
         def on_batch(batch, out, n_valid):  # noqa: F811
+            from crog_tpu.data.compact import unpack_compact_host
+
+            batch = unpack_compact_host(batch)
             bi = counter["batch"]
             counter["batch"] += 1
             rects = _np.asarray(out["rects"])
@@ -415,7 +431,7 @@ def train_one_epoch(
         if (i + 1) % args.print_freq == 0:
             # sync once per print window only — keeps the device queue full
             m = jax.device_get(metrics)
-            bsz = batch["img"].shape[0]
+            bsz = batch.get("img", batch.get("img_u8")).shape[0]
             meters["loss"].update(float(m["loss"]), bsz)
             meters["iou"].update(float(m["iou"]), bsz)
             meters["prec@50"].update(float(m["prec@50"]), bsz)

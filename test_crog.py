@@ -79,7 +79,9 @@ def main():
         num_workers=args.get("workers_val", 4),
         device_put_fn=lambda b: device_put_crog(b),
     )
-    example = next(iter(loader))
+    from crog_tpu.data.compact import unpack_compact_host
+
+    example = unpack_compact_host(next(iter(loader)))
     variables = load_eval_variables(args, model, example)
     eval_step = make_eval_step(
         model, input_size=args.input_size,

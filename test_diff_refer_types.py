@@ -73,7 +73,11 @@ def main():
         base_ds, batch_size=1, num_workers=1,
         device_put_fn=lambda b: device_put_crog(b),
     )
-    variables = load_eval_variables(args, model, next(iter(probe_loader)))
+    from crog_tpu.data.compact import unpack_compact_host
+
+    variables = load_eval_variables(
+        args, model, unpack_compact_host(next(iter(probe_loader)))
+    )
 
     results = {}
     for rtype, indices in refer_types.items():

@@ -111,3 +111,43 @@ def test_eval_pipeline_on_device(setup):
     assert set(result) == {"iou", "prec", "j_index@1", "j_index@5"}
     assert 0 <= result["j_index@5"] <= 1
     assert len(result["prec"]) == 5
+
+
+def test_compact_wire_format_train_and_eval(setup):
+    """The compact uint8 batch must drive the same train/eval steps and give
+    the same loss as the legacy float batch built from the same samples."""
+    from crog_tpu.data.loader import device_put_crog
+    from crog_tpu.parallel.mesh import data_sharding, get_mesh
+
+    model, state, loader, batch = setup
+    ds_c = SyntheticOCIDVLG(
+        num_samples=16, input_size=128, ori_hw=(480, 640), compact=True
+    )
+    sharding = data_sharding(get_mesh())
+    loader_c = DataLoader(
+        ds_c, batch_size=8, shuffle=True, drop_last=True, num_workers=2,
+        device_put_fn=lambda b: device_put_crog(b, sharding),
+    )
+    batch_c = next(iter(loader_c))
+    assert batch_c["img_u8"].dtype == jnp.uint8
+
+    step = make_train_step(model, None)
+    state_l = jax.tree_util.tree_map(jnp.copy, state)
+    state_c = jax.tree_util.tree_map(jnp.copy, state)
+    _, m_legacy = step(state_l, batch, jax.random.PRNGKey(1))
+    _, m_compact = step(state_c, batch_c, jax.random.PRNGKey(1))
+    # same samples (loaders share seed/epoch), same rng -> same loss up to
+    # the <=1 ulp sin/cos difference in the targets
+    np.testing.assert_allclose(
+        float(jax.device_get(m_compact["loss"])),
+        float(jax.device_get(m_legacy["loss"])),
+        rtol=1e-5,
+    )
+
+    eval_step = make_eval_step(model, input_size=128, ori_hw=(480, 640))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out_l = eval_step(variables, batch)
+    out_c = eval_step(variables, batch_c)
+    np.testing.assert_allclose(
+        np.asarray(out_c["iou"]), np.asarray(out_l["iou"]), atol=1e-6
+    )

@@ -58,6 +58,9 @@ def get_parser():
 
 
 def build_dataset(args, split: str):
+    # compact uint8 wire format (crog_tpu.data.compact): bit-exact to the
+    # float pipeline, ~5x fewer bytes host->device; on by default
+    compact = bool(args.get("compact_transfer", True))
     if args.dataset == "synthetic":
         from crog_tpu.data.synthetic import SyntheticOCIDVLG
 
@@ -67,6 +70,7 @@ def build_dataset(args, split: str):
             split=split,
             input_size=args.input_size,
             word_length=args.word_len,
+            compact=compact,
         )
     from crog_tpu.data.ocid_vlg import OCIDVLGDataset
 
@@ -76,6 +80,7 @@ def build_dataset(args, split: str):
         input_size=args.input_size,
         word_length=args.word_len,
         version=args.get("version", "multiple"),
+        compact=compact,
     )
 
 
@@ -138,6 +143,7 @@ def main():
     train_loader = DataLoader(
         train_ds, batch_size=per_host_batch, shuffle=True, drop_last=True,
         seed=args.manual_seed, num_workers=args.get("workers", 4),
+        num_procs=int(args.get("workers_procs", 0)),
         device_put_fn=put, **hosts,
     )
     # full val split: no sample dropped (reference train_crog.py:200
@@ -149,7 +155,9 @@ def main():
     )
     steps_per_epoch = len(train_loader)
 
-    example = next(iter(train_loader))
+    from crog_tpu.data.compact import unpack_compact_host
+
+    example = unpack_compact_host(next(iter(train_loader)))
     init_params_shape = jax.eval_shape(
         lambda: model.init(
             {"params": jax.random.PRNGKey(0)}, example["img"], example["word"],
