@@ -21,6 +21,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Sequence, Tuple
 
 import numpy as np
@@ -78,6 +79,74 @@ def _conv(features, kernel, stride=1, padding=0, dtype=jnp.float32, name=None,
 
 def avg_pool(x, k):
     return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+class _ConvKernel(nn.Module):
+    """Parameter shell matching nn.Conv's tree ({'kernel': [kh,kw,ci,co]})
+    so the space-to-depth stem shares parameters/checkpoints with the plain
+    stem (same name, same shape, same default init)."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.linear.default_kernel_init, self.shape, jnp.float32
+        )
+
+
+class _BNState(nn.Module):
+    """Parameter/stats shell matching nn.BatchNorm's tree (scale/bias params,
+    batch_stats mean/var) for the blocked-domain BN below."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,),
+        )
+        return scale, bias, mean, var
+
+
+def _blocked_bn_relu(shell: _BNState, x, c: int, train: bool, dtype):
+    """BatchNorm over a 2x2-blocked tensor [..., 4c] (slot-major layout):
+    statistics per ORIGINAL channel reduce over batch, space AND the 4 block
+    slots — numerically the flax BatchNorm of the un-blocked tensor
+    (momentum 0.9, eps 1e-5, fp32 stats, fast variance), followed by ReLU."""
+    scale, bias, ra_mean, ra_var = shell()
+    stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    if train:
+        # two-stage reduction: per-LANE means over (B,H,W) first (XLA fuses
+        # the f32 convert into this reduce — one bf16 read, no f32
+        # materialization), then fold the 4 equal-count block slots
+        xf = x.astype(stat_dtype)
+        m1 = xf.mean(axis=(0, 1, 2))
+        m2 = (xf * xf).mean(axis=(0, 1, 2))
+        mu = m1.reshape(4, c).mean(axis=0)
+        mu2 = m2.reshape(4, c).mean(axis=0)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        momentum = 0.9
+        ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mu
+        ra_var.value = momentum * ra_var.value + (1 - momentum) * var
+    else:
+        mu, var = ra_mean.value, ra_var.value
+    mu4 = jnp.tile(mu, 4)
+    mul4 = jnp.tile(jax.lax.rsqrt(var + 1e-5) * scale, 4)
+    bias4 = jnp.tile(bias, 4)
+    y = (x - mu4) * mul4 + bias4
+    return nn.relu(y.astype(dtype))
 
 
 class Bottleneck(nn.Module):
@@ -182,13 +251,12 @@ class ModifiedResNet(nn.Module):
     input_resolution: int = 224
     width: int = 64
     remat: bool = False  # rematerialize bottlenecks: activations -> FLOPs
+    stem_s2d: bool = False  # run the stem in space-to-depth domain (ops/s2d)
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def _stem_plain(self, x, train: bool):
         use_ra = not train
         w = self.width
-        # 3-conv stem
         x = nn.relu(
             _bn(self.dtype, "bn1")(
                 _conv(w // 2, 3, 2, 1, self.dtype, "conv1")(x),
@@ -207,7 +275,55 @@ class ModifiedResNet(nn.Module):
                 use_running_average=use_ra,
             )
         )
-        x = avg_pool(x, 2)
+        return avg_pool(x, 2)
+
+    def _stem_s2d(self, x, train: bool):
+        """The same stem computed in space-to-depth domain (see ops/s2d):
+        identical parameters, identical tap sums, 4x fewer padded lanes on
+        every HBM byte.  Input H,W must be divisible by 4 (416 is)."""
+        from crog_tpu.ops.s2d import (
+            block_kernel_s1,
+            block_kernel_s2,
+            block_mean,
+            space_to_depth,
+        )
+
+        w = self.width
+        h = w // 2
+        conv = partial(
+            jax.lax.conv_general_dilated,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            window_strides=(1, 1),
+        )
+        k1 = _ConvKernel((3, 3, x.shape[-1], h), name="conv1")()
+        k2 = _ConvKernel((3, 3, h, h), name="conv2")()
+        k3 = _ConvKernel((3, 3, h, w), name="conv3")()
+        bn1 = _BNState(h, name="bn1")
+        bn2 = _BNState(h, name="bn2")
+        bn3 = _BNState(w, name="bn3")
+        x = space_to_depth(x.astype(self.dtype), 4)
+        x = conv(
+            x, block_kernel_s2(k1).astype(self.dtype),
+            padding=((1, 0), (1, 0)),
+        )
+        x = _blocked_bn_relu(bn1, x, h, train, self.dtype)
+        x = conv(
+            x, block_kernel_s1(k2).astype(self.dtype), padding=((1, 1), (1, 1))
+        )
+        x = _blocked_bn_relu(bn2, x, h, train, self.dtype)
+        x = conv(
+            x, block_kernel_s1(k3).astype(self.dtype), padding=((1, 1), (1, 1))
+        )
+        x = _blocked_bn_relu(bn3, x, w, train, self.dtype)
+        return block_mean(x, w)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.width
+        if self.stem_s2d and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            x = self._stem_s2d(x, train)
+        else:
+            x = self._stem_plain(x, train)
 
         block_cls = (
             nn.remat(Bottleneck, static_argnums=(2,)) if self.remat
@@ -402,6 +518,7 @@ class CLIPRN50(nn.Module):
     transformer_heads: int = 8
     transformer_layers: int = 12
     remat: bool = False
+    stem_s2d: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -412,6 +529,7 @@ class CLIPRN50(nn.Module):
             input_resolution=self.image_resolution,
             width=self.vision_width,
             remat=self.remat,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
             name="visual",
         )

@@ -46,6 +46,7 @@ class CROG(nn.Module):
     vision_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     transformer_layers: int = 12
     remat: bool = False  # remat the vision tower for bigger per-chip batch
+    stem_s2d: bool = True  # space-to-depth stem (ops/s2d): same math, packed lanes
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -55,6 +56,7 @@ class CROG(nn.Module):
             vision_layers=self.vision_layers,
             transformer_layers=self.transformer_layers,
             remat=self.remat,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
             name="backbone",
         )
@@ -167,6 +169,7 @@ def build_crog(cfg) -> Tuple[CROG, Dict]:
         use_contrastive=cfg.use_contrastive,
         use_grasp_masks=cfg.use_grasp_masks,
         remat=bool(cfg.get("remat", False)),
+        stem_s2d=bool(cfg.get("stem_s2d", True)),
         dtype=jnp.bfloat16 if cfg.get("compute_dtype", "bfloat16") == "bfloat16"
         else jnp.float32,
     )

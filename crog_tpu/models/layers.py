@@ -19,8 +19,28 @@ import flax.linen as nn
 
 from crog_tpu.models.clip import LayerNormFp32, _bn, _conv
 from crog_tpu.ops.attention import MultiHeadAttention
-from crog_tpu.ops.dynconv import dynamic_group_conv
+from crog_tpu.ops.dynconv import dynamic_group_conv_fused
 from crog_tpu.ops.resize import upsample2x_bilinear
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter shell with nn.Conv's exact tree ({'kernel','bias'}, same
+    shapes/inits) for a 1x1 conv whose application is algebraically folded
+    into a neighboring op (checkpoints stay interchangeable)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (1, 1, self.in_features, self.out_features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_features,), jnp.float32
+        )
+        return kernel, bias
 
 
 class ConvBnRelu(nn.Module):
@@ -276,10 +296,12 @@ class MultiTaskProjector(nn.Module):
         x = ConvBnRelu(c * 2, 3, 1, dtype=self.dtype, name="vis_conv1")(x, train)
         x = upsample2x_bilinear(x)
         x = ConvBnRelu(c, 3, 1, dtype=self.dtype, name="vis_conv2")(x, train)
-        x = nn.Conv(
-            c * self.num_tasks, (1, 1), use_bias=True, dtype=self.dtype,
-            param_dtype=jnp.float32, name="vis_out",
-        )(x)
+        # vis_out parameter shell (same tree as the nn.Conv it replaces);
+        # the 1x1 conv itself is algebraically folded into the dynamic conv
+        # (ops/dynconv.dynamic_group_conv_fused)
+        vk = _Conv1x1Params(
+            x.shape[-1], c * self.num_tasks, name="vis_out"
+        )()
         # text -> per-sample kernel + bias
         w = nn.Dense(
             c * self.kernel_size**2 + 1, dtype=self.dtype,
@@ -292,8 +314,9 @@ class MultiTaskProjector(nn.Module):
         # laid out identically ([task, C] blocks) by vis_out's output order.
         # Stays in compute dtype until the f32-accumulating tap einsum (the
         # reference ran this conv under fp16 autocast).
-        return dynamic_group_conv(x, weight, bias.astype(jnp.float32),
-                                  self.num_tasks)
+        return dynamic_group_conv_fused(
+            x, vk[0], vk[1], weight, bias.astype(jnp.float32), self.num_tasks
+        )
 
 
 class Projector(MultiTaskProjector):

@@ -39,13 +39,65 @@ def dynamic_group_conv(
     t = num_tasks
     c = tc // t
     k = weight.shape[-1]
-    r = k // 2
     xr = x.reshape(b, h, w, t, c)
     wk = weight.reshape(b, c, k * k).astype(x.dtype)
     # one big contraction -> k*k tap maps, fp32 accumulation
     taps = jnp.einsum(
         "bhwtc,bck->bhwtk", xr, wk, preferred_element_type=jnp.float32
     )
+    return _shift_accumulate(taps, bias, k)
+
+
+def dynamic_group_conv_fused(
+    x: jnp.ndarray,
+    vis_kernel: jnp.ndarray,
+    vis_bias: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_tasks: int,
+) -> jnp.ndarray:
+    """The projector's 1x1 ``vis_out`` conv composed with the dynamic conv.
+
+    The reference computes ``X @ Wv`` (1x1 conv 256 -> T*C,
+    model/layers.py:62) and then contracts the result with the per-sample
+    text kernel over C (:95-123).  Both are linear in the channel axis, so
+    they compose:  taps = (X @ Wv) . wk  =  X @ (Wv . wk), where
+    ``M[b,j,t,k] = sum_c Wv[j,t,c] wk[b,c,k]`` is a tiny per-sample tensor
+    ([256, T, k*k]).  This removes the T*C-channel intermediate entirely —
+    at batch 24 that was a 170-GFLOP conv plus ~2.7 GB/step of layout
+    copies around the [24,104,104,1280] tensor (~10 ms/step).
+
+    Args:
+      x: [B, H, W, J] vis_conv2 features.
+      vis_kernel: [1, 1, J, T*C] the vis_out conv kernel (HWIO).
+      vis_bias: [T*C] the vis_out conv bias.
+      weight: [B, C, k, k] per-sample text kernels.
+      bias: [B] per-sample scalar bias.
+    Returns: [B, H, W, T] fp32.
+    """
+    b = x.shape[0]
+    t = num_tasks
+    k = weight.shape[-1]
+    c = weight.shape[1]
+    j = vis_kernel.shape[2]
+    wk = weight.reshape(b, c, k * k).astype(jnp.float32)
+    wv = vis_kernel.reshape(j, t, c).astype(jnp.float32)
+    m = jnp.einsum("jtc,bck->bjtk", wv, wk)  # [B, J, T, k*k], tiny
+    tap_bias = jnp.einsum(
+        "tc,bck->btk", vis_bias.reshape(t, c).astype(jnp.float32), wk
+    )
+    taps = jnp.einsum(
+        "bhwj,bjtk->bhwtk", x, m.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    taps = taps + tap_bias[:, None, None].astype(taps.dtype)
+    return _shift_accumulate(taps, bias, k)
+
+
+def _shift_accumulate(taps: jnp.ndarray, bias: jnp.ndarray, k: int):
+    """Sum the k*k spatially-shifted tap maps + per-sample scalar bias."""
+    b, h, w, t, _ = taps.shape
+    r = k // 2
     taps = jnp.pad(taps, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)))
     out = jnp.zeros((b, h, w, t), jnp.float32)
     for ky in range(k):
