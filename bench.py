@@ -122,12 +122,12 @@ def main():
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "24"))
     b = per_chip_batch * n_chips
 
-    # batch 24 fits without remat since the dynconv rewrite; remat available
-    # for larger batches (BENCH_REMAT=1)
-    model = CROG(
-        dtype=jnp.bfloat16,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-    )
+    # batch 24 fits without remat since the dynconv rewrite; BENCH_REMAT:
+    # 0 off, 1 full bottleneck remat, sel selective (save conv outs only)
+    remat = {"0": False, "1": True, "sel": "selective"}[
+        os.environ.get("BENCH_REMAT", "0")
+    ]
+    model = CROG(dtype=jnp.bfloat16, remat=remat)
     batch_np = synthetic_device_batch(b)
     sharding = data_sharding(mesh)
     batch = {k: jax.device_put(v, sharding) for k, v in batch_np.items()}

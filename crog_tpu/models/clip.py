@@ -168,40 +168,53 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from jax.ad_checkpoint import checkpoint_name
+
         expansion = 4
         inplanes = x.shape[-1]
         use_ra = not train
-        out = nn.relu(
-            _bn(self.dtype, "bn1")(
-                _conv(self.planes, 1, dtype=self.dtype, name="conv1")(x),
-                use_running_average=use_ra,
-            )
+        # conv outputs are checkpoint-named: under selective remat only
+        # these are saved for the backward pass and the BN+ReLU chains are
+        # recomputed from them (elementwise) instead of being stored
+        out = checkpoint_name(
+            _conv(self.planes, 1, dtype=self.dtype, name="conv1")(x),
+            "bottleneck_conv",
         )
         out = nn.relu(
-            _bn(self.dtype, "bn2")(
-                _conv(self.planes, 3, padding=1, dtype=self.dtype, name="conv2")(out),
-                use_running_average=use_ra,
-            )
+            _bn(self.dtype, "bn1")(out, use_running_average=use_ra)
+        )
+        out = checkpoint_name(
+            _conv(self.planes, 3, padding=1, dtype=self.dtype, name="conv2")(out),
+            "bottleneck_conv",
+        )
+        out = nn.relu(
+            _bn(self.dtype, "bn2")(out, use_running_average=use_ra)
         )
         if self.stride > 1:
             out = avg_pool(out, self.stride)
         # bn3 scale zero-init: residual branches start as identity (reference
         # initialize_parameters, model/clip.py:402-408; overwritten when a
         # pretrained checkpoint is loaded)
-        out = _bn(self.dtype, "bn3", zero_init=True)(
+        out = checkpoint_name(
             _conv(expansion * self.planes, 1, dtype=self.dtype, name="conv3")(out),
-            use_running_average=use_ra,
+            "bottleneck_conv",
+        )
+        out = _bn(self.dtype, "bn3", zero_init=True)(
+            out, use_running_average=use_ra
         )
         if self.stride > 1 or inplanes != expansion * self.planes:
             identity = x
             if self.stride > 1:
                 identity = avg_pool(identity, self.stride)
-            identity = _bn(self.dtype, "downsample_bn")(
+            identity = checkpoint_name(
                 _conv(
                     expansion * self.planes, 1, dtype=self.dtype,
                     name="downsample_conv",
                 )(identity),
-                use_running_average=use_ra,
+                "bottleneck_conv",
+            )
+            identity = _bn(self.dtype, "downsample_bn")(
+                identity, use_running_average=use_ra
             )
         else:
             identity = x
@@ -258,7 +271,7 @@ class ModifiedResNet(nn.Module):
     heads: int
     input_resolution: int = 224
     width: int = 64
-    remat: bool = False  # rematerialize bottlenecks: activations -> FLOPs
+    remat: Any = False  # False | True | "selective" (save conv outs only)
     stem_s2d: bool = False  # run the stem in space-to-depth domain (ops/s2d)
     dtype: Any = jnp.float32
 
@@ -333,10 +346,23 @@ class ModifiedResNet(nn.Module):
         else:
             x = self._stem_plain(x, train)
 
-        block_cls = (
-            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat
-            else Bottleneck
-        )
+        if self.remat == "selective":
+            # save only conv outputs for the backward pass; the BN+ReLU
+            # chains are recomputed from them — the vision backward is
+            # bandwidth-bound (17.7 GB/step at batch 24), so trading stored
+            # post-BN activations for cheap elementwise recompute cuts its
+            # dominant cost
+            block_cls = nn.remat(
+                Bottleneck,
+                static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "bottleneck_conv"
+                ),
+            )
+        elif self.remat:
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        else:
+            block_cls = Bottleneck
 
         def stage(x, planes, blocks, stride, name):
             x = block_cls(planes, stride, self.dtype, name=f"{name}_0")(x, train)
@@ -525,7 +551,7 @@ class CLIPRN50(nn.Module):
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
-    remat: bool = False
+    remat: Any = False
     stem_s2d: bool = False
     dtype: Any = jnp.float32
 

@@ -45,7 +45,7 @@ class CROG(nn.Module):
     intermediate: bool = False  # decoder return_intermediate (unused by cfgs)
     vision_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     transformer_layers: int = 12
-    remat: bool = False  # remat the vision tower for bigger per-chip batch
+    remat: Any = False  # False | True | "selective" (save conv outs only)
     stem_s2d: bool = True  # space-to-depth stem (ops/s2d): same math, packed lanes
     dtype: Any = jnp.float32
 
