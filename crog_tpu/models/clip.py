@@ -41,10 +41,14 @@ def quick_gelu(x):
 class LayerNormFp32(nn.Module):
     """LayerNorm computed in fp32 regardless of input dtype.
 
-    Fenced with optimization barriers: XLA otherwise fuses the statistics
-    reduce into a neighboring GEMM/conv fusion, dragging the matmul far off
-    MXU peak (measured 8x on the decoder FFN GEMMs — 197 -> 208
-    samples/s/chip from fencing alone)."""
+    Fenced with optimization barriers on input AND output: XLA otherwise
+    fuses the statistics reduce into a neighboring GEMM/conv fusion as a
+    side output, dragging the matmul ~8x off MXU peak (197 -> 210
+    samples/s/chip from fencing alone).  A granular variant — stats fenced,
+    normalize left free to fuse into consumers — was tried and REVERTED
+    (192 vs 210): multi-consumer norms (q/k/v) then recompute the
+    normalize per consumer, re-reading x each time; materializing y once
+    is cheaper."""
 
     epsilon: float = 1e-5
 
