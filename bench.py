@@ -56,6 +56,39 @@ def synthetic_device_batch(b):
     }
 
 
+def bench_eval(model, state, batch_np, sharding, n_chips):
+    """Steady-state throughput of the FULL jitted eval pipeline: forward +
+    bicubic upsample + per-sample inverse letterbox warp to original
+    resolution + mask IoU + grasp peak detection — everything the reference
+    did per sample on CPU (engine/crog_engine.py:214-261)."""
+    import jax
+
+    from crog_tpu.engine.crog_engine import make_eval_step
+    from crog_tpu.ops.affine import letterbox_transform
+
+    b = batch_np["img"].shape[0]
+    _, inv = letterbox_transform((480, 640), (416, 416))
+    eval_batch = {
+        "img": batch_np["img"],
+        "word": batch_np["word"],
+        "mask": batch_np["mask"],
+        "inverse": np.tile(inv.astype(np.float32)[None], (b, 1, 1)),
+        "ori_size": np.tile(np.asarray([[480, 640]], np.int32), (b, 1)),
+    }
+    eval_batch = {k: jax.device_put(v, sharding) for k, v in eval_batch.items()}
+    eval_step = make_eval_step(model, input_size=416, ori_hw=(480, 640))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = eval_step(variables, eval_batch)  # compile
+    float(jax.device_get(out["iou"][0]))
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_step(variables, eval_batch)
+    float(jax.device_get(out["iou"][0]))
+    dt = (time.perf_counter() - t0) / iters
+    return b / dt / n_chips
+
+
 def check_pallas_engaged(train_step, state, batch, key) -> bool:
     """Lower (no compile) the jitted step and look for the TPU Pallas custom
     call; on TPU the fused attention MUST be present (ops/attention.py gate)."""
@@ -183,6 +216,10 @@ def main():
     global_sps = b / dt
     per_chip = global_sps / n_chips
 
+    eval_per_chip = None
+    if os.environ.get("BENCH_EVAL", "1") == "1":
+        eval_per_chip = bench_eval(model, state, batch_np, sharding, n_chips)
+
     e2e_per_chip = None
     if os.environ.get("BENCH_E2E", "1") == "1":
         e2e_per_chip = bench_e2e(
@@ -196,6 +233,8 @@ def main():
         "vs_baseline": round(per_chip / PER_CHIP_BASELINE, 3),
         "pallas_fused_attention": bool(pallas_ok),
     }
+    if eval_per_chip is not None:
+        out["eval_samples_s_per_chip"] = round(eval_per_chip, 2)
     if e2e_per_chip is not None:
         out["e2e_samples_s_per_chip"] = round(e2e_per_chip, 2)
         out["e2e_vs_baseline"] = round(e2e_per_chip / PER_CHIP_BASELINE, 3)

@@ -80,7 +80,7 @@ def main():
     timed = total - warmup
     params_m = count_parameters(variables["params"]) * 1e-6
 
-    mem_gb = float("nan")
+    mem_gb = None
     try:
         stats = jax.devices()[0].memory_stats()
         if stats and "peak_bytes_in_use" in stats:
@@ -92,7 +92,9 @@ def main():
     print(f"Average Parameters : {params_m:.2f} M")
     print(f"Average FPS: {timed / elapsed:.2f}")
     print(f"Average Latency: {1000 * elapsed / timed:.2f} ms")
-    print(f"Peak Device Memory: {mem_gb:.2f} GB")
+    mem_str = f"{mem_gb:.2f} GB" if mem_gb is not None else \
+        "n/a (platform reports no memory_stats)"
+    print(f"Peak Device Memory: {mem_str}")
     print("#########################################")
 
 
