@@ -41,9 +41,10 @@ def dynamic_group_conv(
     k = weight.shape[-1]
     xr = x.reshape(b, h, w, t, c)
     wk = weight.reshape(b, c, k * k).astype(x.dtype)
-    # one big contraction -> k*k tap maps, fp32 accumulation
+    # one big contraction -> k*k tap maps, fp32 accumulation; output with
+    # (h, w) MINOR — see _shift_accumulate
     taps = jnp.einsum(
-        "bhwtc,bck->bhwtk", xr, wk, preferred_element_type=jnp.float32
+        "bhwtc,bck->btkhw", xr, wk, preferred_element_type=jnp.float32
     )
     return _shift_accumulate(taps, bias, k)
 
@@ -87,24 +88,32 @@ def dynamic_group_conv_fused(
         "tc,bck->btk", vis_bias.reshape(t, c).astype(jnp.float32), wk
     )
     taps = jnp.einsum(
-        "bhwj,bjtk->bhwtk", x, m.astype(x.dtype),
+        "bhwj,bjtk->btkhw", x, m.astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
-    taps = taps + tap_bias[:, None, None].astype(taps.dtype)
+    taps = taps + tap_bias[:, :, :, None, None].astype(taps.dtype)
     return _shift_accumulate(taps, bias, k)
 
 
 def _shift_accumulate(taps: jnp.ndarray, bias: jnp.ndarray, k: int):
-    """Sum the k*k spatially-shifted tap maps + per-sample scalar bias."""
-    b, h, w, t, _ = taps.shape
+    """Sum the k*k spatially-shifted tap maps + per-sample scalar bias.
+
+    ``taps`` is [B, T, k*k, H, W]: the SPATIAL dims are minor, so each
+    shifted slice is a lane/sublane offset of a well-tiled array.  (The
+    earlier [B, H, W, T, k*k] layout put k*k=9 in the lane dimension —
+    14x padding on every byte the shift-adds moved, ~5 ms/step of the
+    backward at batch 24.)  Returns [B, H, W, T] fp32.
+    """
+    b, t, _, h, w = taps.shape
     r = k // 2
-    taps = jnp.pad(taps, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)))
-    out = jnp.zeros((b, h, w, t), jnp.float32)
+    taps = jnp.pad(taps, ((0, 0), (0, 0), (0, 0), (r, r), (r, r)))
+    out = jnp.zeros((b, t, h, w), jnp.float32)
     for ky in range(k):
         for kx in range(k):
             # cross-correlation (torch conv semantics): tap (ky, kx)
             # multiplies x[p + (ky-r, kx-r)] = padded tap map at p + (ky, kx)
             out = out + taps[
-                :, ky : ky + h, kx : kx + w, :, ky * k + kx
+                :, :, ky * k + kx, ky : ky + h, kx : kx + w
             ]
+    out = out.transpose(0, 2, 3, 1)
     return out + bias.astype(jnp.float32)[:, None, None, None]
