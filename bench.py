@@ -203,15 +203,21 @@ def main():
     float(jax.device_get(metrics["loss"]))
 
     # steady-state wall clock over a step chain (each step consumes the
-    # previous state, so the chain serializes on device) with one final
-    # forced transfer
-    iters = 60
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = train_step(state, batch, jax.random.fold_in(key, 100 + i))
-    loss = float(jax.device_get(metrics["loss"]))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(loss), f"non-finite training loss {loss}"
+    # previous state, so the chain serializes on device) with one forced
+    # transfer per window; report the MEDIAN of 3 windows (the host is
+    # shared/1-core — a single window can catch a scheduling hiccup)
+    iters = 20
+    times = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = train_step(
+                state, batch, jax.random.fold_in(key, 100 + w * iters + i)
+            )
+        loss = float(jax.device_get(metrics["loss"]))
+        times.append((time.perf_counter() - t0) / iters)
+        assert np.isfinite(loss), f"non-finite training loss {loss}"
+    dt = sorted(times)[1]
 
     global_sps = b / dt
     per_chip = global_sps / n_chips
