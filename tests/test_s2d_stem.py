@@ -142,3 +142,19 @@ def test_stem_s2d_grads_float64():
             ),
             grads(plain), grads(s2d),
         )
+
+
+def test_stem_s2d_falls_back_on_indivisible_input():
+    """Inputs whose H/W are not multiples of 4 silently use the plain stem
+    (same parameters, so the result is identical up to conv reassociation)."""
+    kw = dict(layers=(1, 1, 1, 1), output_dim=32, heads=4,
+              input_resolution=64, width=8)
+    s2d = ModifiedResNet(stem_s2d=True, **kw)
+    plain = ModifiedResNet(stem_s2d=False, **kw)
+    # 66 is even but NOT a multiple of 4 -> the s2d flag must fall back
+    x66 = jnp.asarray(np.random.RandomState(5).randn(1, 66, 66, 3).astype(np.float32))
+    v = plain.init({"params": jax.random.PRNGKey(0)}, x66, train=False)
+    out_s = s2d.apply(v, x66, train=False)
+    out_p = plain.apply(v, x66, train=False)
+    for a, b in zip(out_p, out_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
