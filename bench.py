@@ -108,9 +108,12 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
 
     b = per_chip_batch * n_chips
     n_batches = int(os.environ.get("BENCH_E2E_BATCHES", "12"))
+    # BENCH_WIRE: raw (device-side raster+blur+letterbox, the default),
+    # compact (uint8 planes, host warp), legacy (float32 host pipeline)
+    wire = os.environ.get("BENCH_WIRE", "raw")
     ds = SyntheticOCIDVLG(
         num_samples=b * (n_batches + 2), split="train",
-        compact=os.environ.get("BENCH_COMPACT", "1") == "1",
+        compact=wire == "compact", raw=wire == "raw",
     )
     loader = DataLoader(
         ds,
@@ -130,13 +133,119 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
     n = 0
     for batch in it:
         state, metrics = train_step(state, batch, key)
-        n += batch.get("img", batch.get("img_u8")).shape[0]
+        n += batch["word"].shape[0]
         if n >= n_batches * b:
             break
     loss = float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), f"non-finite e2e loss {loss}"
     return n / dt / n_chips
+
+
+def synthetic_ssg_batch(b, s=544, max_objs=24, num_classes=32):
+    """Device-held synthetic batch in the collate_ssg layout (RGB-D)."""
+    rng = np.random.RandomState(0)
+    n_obj = 6
+    masks = np.zeros((b, max_objs, s, s), np.float32)
+    boxes = np.zeros((b, max_objs, 4), np.float32)
+    for i in range(b):
+        for m in range(n_obj):
+            x0, y0 = rng.randint(0, s - 120, 2)
+            w, h = rng.randint(40, 120, 2)
+            masks[i, m, y0 : y0 + h, x0 : x0 + w] = 1.0
+            boxes[i, m] = (x0 / s, y0 / s, min(x0 + w, s) / s, min(y0 + h, s) / s)
+    valid = np.zeros((b, max_objs), bool)
+    valid[:, :n_obj] = True
+    qua = masks * rng.rand(b, max_objs, 1, 1).astype(np.float32)
+    return {
+        "img": rng.rand(b, s, s, 4).astype(np.float32),
+        "boxes": boxes,
+        "labels": rng.randint(1, num_classes, (b, max_objs)).astype(np.int32),
+        "obj_valid": valid,
+        "ins_masks": masks,
+        "grasp_qua": qua,
+        "grasp_sin": (masks * 0.3).astype(np.float32),
+        "grasp_cos": (masks * 0.9).astype(np.float32),
+        "grasp_wid": (masks * 0.5).astype(np.float32),
+    }
+
+
+def bench_ssg(n_chips, sharding, per_chip_batch=None):
+    """SSG (second model family, reference train_ssg.py / model/ssg.py:208-529)
+    training throughput: full-size R50 FPN + ProtoNet + 8-term loss at 544
+    RGB-D, jitted step on a device-held synthetic batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from crog_tpu.engine.optim import make_optimizer
+    from crog_tpu.engine.ssg_engine import (
+        create_ssg_train_state,
+        make_ssg_train_step,
+    )
+    from crog_tpu.models.ssg import SSG
+    from crog_tpu.parallel.mesh import replicate, get_mesh
+
+    per_chip = per_chip_batch or int(os.environ.get("BENCH_SSG_BATCH", "8"))
+    b = per_chip * n_chips
+    model = SSG(dtype=jnp.bfloat16)
+    batch_np = synthetic_ssg_batch(b)
+    batch = jax.device_put(batch_np, sharding)
+    params_shape = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 544, 544, 4)), train=True,
+        )
+    )
+    tx = make_optimizer(
+        params_shape["params"], base_lr=3e-4, lr_multi=1.0,
+        milestones=[100], lr_decay=0.95, steps_per_epoch=1000,
+        weight_decay=5e-4, optimizer="adamw",
+    )
+    state = create_ssg_train_state(
+        model, tx, batch["img"][:1], jax.random.PRNGKey(0)
+    )
+    mesh = get_mesh()
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step = make_ssg_train_step(
+        model, tx, model.anchors(), {"masks_to_train": 100}
+    )
+    key = jax.random.PRNGKey(2)
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss), f"non-finite SSG loss {loss}"
+    iters = 10
+    times = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(
+                state, batch, jax.random.fold_in(key, 50 + w * iters + i)
+            )
+        float(jax.device_get(metrics["loss"]))
+        times.append((time.perf_counter() - t0) / iters)
+    dt = sorted(times)[1]
+    return b / dt / n_chips
+
+
+def main_ssg():
+    """Standalone SSG bench (BENCH_MODEL=ssg): one JSON line."""
+    import jax
+
+    from crog_tpu.parallel.mesh import data_sharding, get_mesh
+
+    n_chips = jax.device_count()
+    sharding = data_sharding(get_mesh())
+    value = bench_ssg(n_chips, sharding)
+    print(json.dumps({
+        "metric": "ssg_train_throughput_per_chip",
+        "value": round(value, 2),
+        "unit": "samples/s/chip",
+    }))
 
 
 def main():
@@ -232,6 +341,26 @@ def main():
             train_step, state, key, per_chip_batch, n_chips, sharding
         )
 
+    ssg_per_chip = None
+    if os.environ.get("BENCH_SSG", "1") == "1":
+        # SSG runs in a SUBPROCESS: a worker fault (e.g. OOM at an
+        # oversized batch) must not take the CROG numbers down with it
+        import subprocess
+        import sys
+
+        env = dict(os.environ, BENCH_MODEL="ssg")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            timeout=1800,
+        )
+        for line in proc.stdout.splitlines():
+            try:
+                ssg_per_chip = json.loads(line)["value"]
+                break
+            except (ValueError, KeyError):
+                continue
+
     out = {
         "metric": "crog_train_throughput_per_chip",
         "value": round(per_chip, 2),
@@ -245,8 +374,13 @@ def main():
         out["e2e_samples_s_per_chip"] = round(e2e_per_chip, 2)
         out["e2e_vs_baseline"] = round(e2e_per_chip / PER_CHIP_BASELINE, 3)
         out["host_cores"] = os.cpu_count()
+    if ssg_per_chip is not None:
+        out["ssg_samples_s_per_chip"] = round(ssg_per_chip, 2)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODEL") == "ssg":
+        main_ssg()
+    else:
+        main()

@@ -25,6 +25,7 @@ def collate_crog(samples: List[Dict]) -> Dict:
     stack_keys = (
         "img", "mask", "qua", "sin", "cos", "wid", "ang", "word", "inverse",
         "ori_size", "img_u8", "planes_u8",
+        "raw_img_u8", "raw_mask_u8", "rect_corners", "rect_vals",
     )
     for k in stack_keys:
         if k in samples[0]:
@@ -167,9 +168,15 @@ class DataLoader:
                 import multiprocessing
                 from concurrent.futures import ProcessPoolExecutor
 
+                # forkserver, not fork: by loader time this process has JAX
+                # runtime + prefetch threads live, and fork-after-threads can
+                # deadlock in the child (CPython emits a DeprecationWarning
+                # for exactly this).  The forkserver is started fork+exec
+                # (thread-clean) and workers fork from IT; the dataset
+                # travels by pickle through the initializer.
                 self._workers = ProcessPoolExecutor(
                     max_workers=self.num_procs,
-                    mp_context=multiprocessing.get_context("fork"),
+                    mp_context=multiprocessing.get_context("forkserver"),
                     initializer=_proc_init,
                     initargs=(self.dataset,),
                 )

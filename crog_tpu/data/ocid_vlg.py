@@ -43,8 +43,12 @@ class OCIDVLGDataset:
         version: str = "multiple",
         transform_grasp: Optional[GraspTransforms] = None,
         compact: bool = False,
+        raw: bool = False,
+        max_rects: int = 16,
     ):
         self.compact = compact
+        self.raw = raw
+        self.max_rects = max_rects
         self.root_dir = root_dir
         self.split = split
         self.refer_dir = os.path.join(root_dir, "refer", version)
@@ -122,11 +126,12 @@ class OCIDVLGDataset:
 
         grasp_masks = (
             self.transform_grasp.generate_masks(grasps)
-            if self.with_grasp_masks
+            if self.with_grasp_masks and not getattr(self, "raw", False)
             else None
         )
         sample = self.preprocess(
-            img, msk, grasp_masks, it["sentence"]
+            img, msk, grasp_masks, it["sentence"],
+            rects=grasps if self.with_grasp_masks else None,
         )
         x, y, w, h = it["bbox"]
         sample.update(
@@ -175,7 +180,7 @@ class OCIDVLGDataset:
             annotated=self.get_annotated_image(n),
         )
 
-    def preprocess(self, img, msk, grasp_masks, sentence) -> Dict:
+    def preprocess(self, img, msk, grasp_masks, sentence, rects=None) -> Dict:
         """Letterbox warp + normalize (reference utils/dataset.py:843-914).
 
         Every plane is uint8 until the final conversions (img is warped as
@@ -197,6 +202,28 @@ class OCIDVLGDataset:
         ins_mask = (msk.astype(np.float64) * 255).astype(np.uint8) if msk.max() <= 1.0 else msk
         ori_size = img.shape[:2]
         mat, mat_inv = letterbox_transform(ori_size, self.input_size)
+
+        if getattr(self, "raw", False):
+            # raw wire format (crog_tpu.data.rawwire): ship the UNWARPED
+            # uint8 planes + per-grasp raster params; rasterization, blur
+            # and the letterbox warp all run on device inside the jit
+            from crog_tpu.data.rawwire import pack_raster_params
+
+            out = {
+                "word": tokenize(sentence, self.word_length, True)[0],
+                "inverse": mat_inv.astype(np.float32),
+                "ori_size": np.asarray(ori_size, np.int32),
+                "raw_img_u8": np.ascontiguousarray(img),
+                "raw_mask_u8": ins_mask,
+            }
+            if rects is not None:
+                corners, vals = pack_raster_params(
+                    np.asarray(rects), getattr(self, "max_rects", 16),
+                    self.transform_grasp.width_factor,
+                )
+                out["rect_corners"] = corners
+                out["rect_vals"] = vals
+            return out
 
         border = tuple((CLIP_MEAN * 255).tolist())
         img_w = warp_affine_np(

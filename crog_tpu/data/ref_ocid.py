@@ -115,7 +115,13 @@ class RefOCIDGraspDataset:
             else []
         )
 
-        x1, y1, x2, y2 = ref["bbox"]
+        bbox = ref["bbox"]
+        if isinstance(bbox, str):
+            # reference _load_bbox (utils/dataset.py:346-350): the JSON holds
+            # the box as a "[a, b, c, d]" string; the values are consumed as
+            # corner coordinates by _match_masks_with_ref (:294-299)
+            bbox = [int(v) for v in bbox.replace("[", "").replace("]", "").split(",")]
+        x1, y1, x2, y2 = bbox
         mask = self._match_mask((x1, y1, x2, y2), ins, sem == obj_cls)
         grasps = [
             r for r in rects if mask[int(r[1]), int(r[0])]

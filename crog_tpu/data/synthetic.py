@@ -39,8 +39,12 @@ class SyntheticOCIDVLG:
         ori_hw=(480, 640),
         seed: int = 0,
         compact: bool = False,
+        raw: bool = False,
+        max_rects: int = 16,
     ):
         self.compact = compact
+        self.raw = raw
+        self.max_rects = max_rects
         self.num_samples = num_samples
         self.split = split
         self.input_size = (input_size, input_size)
@@ -98,8 +102,12 @@ class SyntheticOCIDVLG:
     def __getitem__(self, n: int) -> Dict:
         img, msk, grasp_pts, sent = self._scene(n)
         grasps = self.transform_grasp(grasp_pts.astype(np.float64), 1)
-        grasp_masks = self.transform_grasp.generate_masks(grasps)
-        sample = OCIDVLGDataset.preprocess(self, img, msk, grasp_masks, sent)
+        grasp_masks = (
+            None if self.raw else self.transform_grasp.generate_masks(grasps)
+        )
+        sample = OCIDVLGDataset.preprocess(
+            self, img, msk, grasp_masks, sent, rects=grasps
+        )
         sample.update(
             grasps=grasps,
             sentence=sent,

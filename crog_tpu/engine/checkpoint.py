@@ -26,6 +26,21 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def _opt_fingerprint(opt_state) -> np.uint64:
+    """Stable fingerprint of the optimizer-state STRUCTURE (treedef + leaf
+    shapes/dtypes).  Restore rebuilds optax state classes by unflattening
+    the saved leaves against the current optimizer's treedef — silently
+    wrong if the optax version/config changed the state pytree between save
+    and restore, so the fingerprint makes version skew a loud error."""
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    desc = str(treedef) + "|" + ";".join(
+        f"{np.shape(l)}:{np.asarray(l).dtype}" for l in leaves
+    )
+    return np.uint64(int(hashlib.sha1(desc.encode()).hexdigest()[:16], 16))
+
+
 def save_checkpoint(
     output_dir: str,
     state,
@@ -41,6 +56,7 @@ def save_checkpoint(
         "opt_state": jax.device_get(state.opt_state),
         "step": np.asarray(jax.device_get(state.step)),
         "meta": {
+            "opt_fingerprint": _opt_fingerprint(state.opt_state),
             "epoch": np.asarray(epoch),
             "best_iou": np.asarray(best_iou),
             "best_jindex": np.asarray(best_jindex),
@@ -63,8 +79,27 @@ def restore_checkpoint(path: str, state=None) -> Dict[str, Any]:
     # opt_state restores as generic containers; rebuild it against the
     # optimizer's own structure so optax state classes survive the roundtrip
     opt_template = jax.device_get(state.opt_state)
+    meta = restored.get("meta") or {}
+    saved_fp = meta.get("opt_fingerprint")
+    if saved_fp is not None:
+        current_fp = _opt_fingerprint(opt_template)
+        if np.uint64(np.asarray(saved_fp)) != current_fp:
+            raise ValueError(
+                "optimizer-state structure mismatch: checkpoint "
+                f"{path!r} was saved with a different optimizer "
+                "configuration or optax version (fingerprint "
+                f"{int(np.asarray(saved_fp))} != current {int(current_fp)}). "
+                "Rebuild the optimizer to match, or restore without `state` "
+                "and load params only."
+            )
     flat_restored = jax.tree_util.tree_leaves(restored["opt_state"])
     treedef = jax.tree_util.tree_structure(opt_template)
+    if len(flat_restored) != treedef.num_leaves:
+        raise ValueError(
+            f"optimizer-state leaf count mismatch restoring {path!r}: "
+            f"checkpoint has {len(flat_restored)} leaves, current optimizer "
+            f"expects {treedef.num_leaves}"
+        )
     opt_state = jax.tree_util.tree_unflatten(treedef, flat_restored)
     new_state = state.replace(
         params=restored["params"],

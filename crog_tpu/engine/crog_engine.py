@@ -77,6 +77,30 @@ _EVAL_KEYS = ("img", "word", "mask", "inverse", "ori_size")
 # compact uint8 wire format (crog_tpu.data.compact): unpacked inside the jit
 _TRAIN_KEYS_C = ("img_u8", "planes_u8", "word")
 _EVAL_KEYS_C = ("img_u8", "planes_u8", "word", "inverse", "ori_size")
+# raw wire format (crog_tpu.data.rawwire): raster + blur + letterbox in-jit
+_TRAIN_KEYS_R = (
+    "raw_img_u8", "raw_mask_u8", "rect_corners", "rect_vals", "word",
+)
+_EVAL_KEYS_R = _TRAIN_KEYS_R + ("inverse", "ori_size")
+
+
+def _select_keys(batch, legacy, compact, raw):
+    if "raw_img_u8" in batch:
+        return raw
+    return compact if "img_u8" in batch else legacy
+
+
+def _unpack(batch, input_size: int):
+    """In-jit wire-format dispatch (identity on legacy float batches)."""
+    if "raw_img_u8" in batch:
+        from crog_tpu.data.rawwire import unpack_raw
+
+        return unpack_raw(batch, input_size)
+    if "img_u8" in batch:
+        from crog_tpu.data.compact import unpack_compact
+
+        return unpack_compact(batch)
+    return batch
 
 
 def make_train_step(model, tx, use_grasp_masks: bool = True):
@@ -84,10 +108,7 @@ def make_train_step(model, tx, use_grasp_masks: bool = True):
     dense device fields only (ragged host fields are stripped)."""
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng) -> Any:
-        if "img_u8" in batch:
-            from crog_tpu.data.compact import unpack_compact
-
-            batch = unpack_compact(batch)
+        batch = _unpack(batch, model.input_resolution)
         img = batch["img"]
         word = batch["word"]
         targets = {
@@ -127,7 +148,7 @@ def make_train_step(model, tx, use_grasp_masks: bool = True):
     jitted = jax.jit(step, donate_argnums=(0,))
 
     def wrapped(state, batch, rng):
-        keys = _TRAIN_KEYS_C if "img_u8" in batch else _TRAIN_KEYS
+        keys = _select_keys(batch, _TRAIN_KEYS, _TRAIN_KEYS_C, _TRAIN_KEYS_R)
         dense = {k: batch[k] for k in keys if k in batch}
         return jitted(state, dense, rng)
 
@@ -174,10 +195,7 @@ def make_eval_step(
     hi = jax.lax.Precision.HIGHEST
 
     def step(variables, batch):
-        if "img_u8" in batch:
-            from crog_tpu.data.compact import unpack_compact
-
-            batch = unpack_compact(batch)
+        batch = _unpack(batch, input_size)
         img = batch["img"]
         word = batch["word"]
         preds = model.apply(variables, img, word, train=False)
@@ -231,7 +249,7 @@ def make_eval_step(
     jitted = jax.jit(step)
 
     def wrapped(variables, batch):
-        keys = _EVAL_KEYS_C if "img_u8" in batch else _EVAL_KEYS
+        keys = _select_keys(batch, _EVAL_KEYS, _EVAL_KEYS_C, _EVAL_KEYS_R)
         dense = {k: batch[k] for k in keys if k in batch}
         return jitted(variables, dense)
 
@@ -431,7 +449,7 @@ def train_one_epoch(
         if (i + 1) % args.print_freq == 0:
             # sync once per print window only — keeps the device queue full
             m = jax.device_get(metrics)
-            bsz = batch.get("img", batch.get("img_u8")).shape[0]
+            bsz = batch["word"].shape[0]
             meters["loss"].update(float(m["loss"]), bsz)
             meters["iou"].update(float(m["iou"]), bsz)
             meters["prec@50"].update(float(m["prec@50"]), bsz)

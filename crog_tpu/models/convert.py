@@ -276,12 +276,17 @@ def convert_clip_state_dict(
         sd["visual.attnpool.positional_embedding"],
     )
     mha("visual.attnpool", ap + ("attn",))
-    _set(
-        params,
-        ap + ("connect_conv", "kernel"),
-        _conv_kernel(sd["visual.attnpool.connect.0.weight"]),
-    )
-    bn("visual.attnpool.connect.1", ap + ("connect_bn",))
+    # the residual `connect` branch is a CROG addition to CLIP (reference
+    # model/clip.py:76-78); stock OpenAI checkpoints don't carry it and the
+    # reference loads with strict=False (model/clip.py:554) leaving it at
+    # fresh init — reproduce exactly that when the keys are absent
+    if "visual.attnpool.connect.0.weight" in sd:
+        _set(
+            params,
+            ap + ("connect_conv", "kernel"),
+            _conv_kernel(sd["visual.attnpool.connect.0.weight"]),
+        )
+        bn("visual.attnpool.connect.1", ap + ("connect_bn",))
 
     # ---- text tower ----
     text_tower()

@@ -15,6 +15,9 @@ import flax.linen as nn
 
 from crog_tpu.models.crog import CROG
 from crog_tpu.parallel.mesh import data_sharding, get_mesh, replicate
+import pytest
+
+pytestmark = pytest.mark.slow
 
 SMALL = dict(
     input_resolution=64,

@@ -111,6 +111,63 @@ def test_checkpoint_roundtrip(tmp_path):
     assert float(restored["meta"]["best_iou"]) == pytest.approx(0.5)
 
 
+def test_checkpoint_optimizer_skew_is_loud(tmp_path):
+    """A checkpoint saved under one optimizer config must refuse a resume
+    under a structurally different one (fingerprint guard) instead of
+    silently unflattening wrong leaves."""
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    state = TrainState.create(
+        apply_fn=lambda *a: None, params=params, batch_stats={},
+        tx=optax.adam(1e-3),
+    ).replace(step=jnp.asarray(1, jnp.int32))
+    path = ckpt.save_checkpoint(str(tmp_path), state, epoch=0)
+
+    # same structure -> restores fine
+    same = TrainState.create(
+        apply_fn=lambda *a: None, params={"w": jnp.zeros((2, 3))},
+        batch_stats={}, tx=optax.adam(5e-4),
+    ).replace(step=jnp.asarray(0, jnp.int32))
+    assert ckpt.restore_checkpoint(path, same)["state"] is not None
+
+    # different optimizer -> loud error
+    skewed = TrainState.create(
+        apply_fn=lambda *a: None, params={"w": jnp.zeros((2, 3))},
+        batch_stats={},
+        tx=optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-3)),
+    ).replace(step=jnp.asarray(0, jnp.int32))
+    with pytest.raises(ValueError, match="optimizer-state structure"):
+        ckpt.restore_checkpoint(path, skewed)
+
+
+def test_loader_process_pool_forkserver(tmp_path):
+    """num_procs > 0 must use a fork-safe worker pool: no fork-after-threads
+    DeprecationWarning (the JAX runtime + prefetch threads are live by loader
+    time), and the batches must match the in-thread path."""
+    import warnings
+
+    from crog_tpu.data.loader import DataLoader
+    from crog_tpu.data.synthetic import SyntheticOCIDVLG
+
+    ds = SyntheticOCIDVLG(num_samples=8, input_size=32, ori_hw=(60, 80))
+    ref_loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    ref = list(iter(ref_loader))
+
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_procs=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = list(iter(loader))
+    fork_warnings = [
+        w for w in caught
+        if "fork" in str(w.message).lower() and "deadlock" in str(w.message).lower()
+    ]
+    assert not fork_warnings, [str(w.message) for w in fork_warnings]
+    assert len(got) == len(ref) == 2
+    for b_ref, b_got in zip(ref, got):
+        np.testing.assert_array_equal(b_got["img"], b_ref["img"])
+        np.testing.assert_array_equal(b_got["word"], b_ref["word"])
+    loader._workers.shutdown()
+
+
 def test_grasp_transforms_roundtrip():
     gt = GraspTransforms()
     rects = np.array([[320.0, 240.0, 60.0, 20.0, 30.0, 1.0],

@@ -25,6 +25,8 @@ from crog_tpu.engine.optim import make_optimizer
 from crog_tpu.models.crog import CROG
 from crog_tpu.parallel.mesh import data_sharding, get_mesh
 
+pytestmark = pytest.mark.slow
+
 SMALL = dict(
     input_resolution=128,
     vision_layers=(1, 1, 1, 1),

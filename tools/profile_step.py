@@ -6,6 +6,7 @@ region (scope names embedded in the fusion metadata), plus bytes_accessed
 where the compiler reports it.
 
 Usage:  python tools/profile_step.py [steps] [batch]
+        PROFILE_MODEL=ssg python tools/profile_step.py [steps] [batch]
 Output: a sorted table of the top device-time consumers.
 """
 
@@ -18,6 +19,58 @@ import os
 import re
 import sys
 from collections import defaultdict
+
+
+def capture_ssg(steps: int, batch: int, logdir: str):
+    """SSG train-step trace (second model family, train_ssg.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import synthetic_ssg_batch
+    from crog_tpu.engine.optim import make_optimizer
+    from crog_tpu.engine.ssg_engine import (
+        create_ssg_train_state,
+        make_ssg_train_step,
+    )
+    from crog_tpu.models.ssg import SSG
+    from crog_tpu.parallel.mesh import data_sharding, get_mesh, replicate
+
+    mesh = get_mesh()
+    model = SSG(dtype=jnp.bfloat16)
+    sharding = data_sharding(mesh)
+    dev_batch = jax.device_put(synthetic_ssg_batch(batch), sharding)
+    params_shape = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 544, 544, 4)), train=True,
+        )
+    )
+    tx = make_optimizer(
+        params_shape["params"], base_lr=3e-4, lr_multi=1.0, milestones=[100],
+        lr_decay=0.95, steps_per_epoch=1000, weight_decay=5e-4,
+        optimizer="adamw",
+    )
+    state = create_ssg_train_state(
+        model, tx, dev_batch["img"][:1], jax.random.PRNGKey(0)
+    )
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step = make_ssg_train_step(
+        model, tx, model.anchors(), {"masks_to_train": 100}
+    )
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        state, metrics = step(state, dev_batch, jax.random.fold_in(key, i))
+    float(jax.device_get(metrics["loss"]))
+    jax.profiler.start_trace(logdir)
+    for i in range(steps):
+        state, metrics = step(state, dev_batch, jax.random.fold_in(key, 10 + i))
+    float(jax.device_get(metrics["loss"]))
+    jax.profiler.stop_trace()
 
 
 def capture(steps: int, batch: int, logdir: str):
@@ -132,7 +185,8 @@ def aggregate(logdir: str, steps: int):
 
 if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    ssg = os.environ.get("PROFILE_MODEL", "crog") == "ssg"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if ssg else 24)
     logdir = os.environ.get("PROFILE_DIR", "/tmp/crog_profile")
-    capture(steps, batch, logdir)
+    (capture_ssg if ssg else capture)(steps, batch, logdir)
     aggregate(logdir, steps)
