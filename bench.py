@@ -35,6 +35,19 @@ import numpy as np
 PER_CHIP_BASELINE = 11.0  # samples/s/chip, 2x RTX 4090 -> 22 global
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — the SSG/CROG programs take tens of
+    minutes to compile for the tunneled TPU; cache them across runs."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def synthetic_device_batch(b):
     rng = np.random.RandomState(0)
     return {
@@ -238,6 +251,8 @@ def main_ssg():
 
     from crog_tpu.parallel.mesh import data_sharding, get_mesh
 
+    _enable_compile_cache()
+
     n_chips = jax.device_count()
     sharding = data_sharding(get_mesh())
     value = bench_ssg(n_chips, sharding)
@@ -251,6 +266,8 @@ def main_ssg():
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from crog_tpu.engine.crog_engine import create_train_state, make_train_step
     from crog_tpu.engine.optim import make_optimizer

@@ -9,6 +9,7 @@ All modules are NHWC, bf16-compute capable, with fp32 LayerNorm/softmax.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 from typing import Any
 
@@ -86,6 +87,21 @@ class _Conv1x1Params(nn.Module):
             "bias", nn.initializers.zeros, (self.out_features,), jnp.float32
         )
         return kernel, bias
+
+
+class _MHAParams(nn.Module):
+    """Parameter shell matching MultiHeadAttention's tree
+    (<name>/{q_proj,k_proj,v_proj,out_proj}/{kernel,bias}) for attention
+    blocks whose application runs inside a fused Pallas kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        out = []
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            out.extend(_DenseParams(self.features, self.features, name=proj)())
+        return tuple(out)
 
 
 class ConvBnRelu(nn.Module):
@@ -244,39 +260,80 @@ class TransformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, vis, txt, vis_pos, txt_pos, pad_mask, train: bool):
-        drop = lambda name: nn.Dropout(self.dropout, deterministic=not train)
-        # self-attention over visual tokens
-        v2 = LayerNormFp32(name="norm1")(vis)
-        q = k = v2 + vis_pos.astype(v2.dtype)
-        v2 = MultiHeadAttention(self.nhead, dtype=self.dtype, name="self_attn")(
-            q, k, v2
-        )
-        v2 = LayerNormFp32(name="self_attn_norm")(v2)
-        vis = vis + drop("d1")(v2)
-        # cross-attention to text
-        v2 = LayerNormFp32(name="norm2")(vis)
-        v2 = MultiHeadAttention(
-            self.nhead, dtype=self.dtype, name="multihead_attn"
-        )(
-            v2 + vis_pos.astype(v2.dtype),
-            txt + txt_pos.astype(txt.dtype),
-            txt,
-            key_padding_mask=pad_mask,
-        )
-        v2 = LayerNormFp32(name="cross_attn_norm")(v2)
-        vis = vis + drop("d2")(v2)
-        # FFN: Dense -> ReLU -> Dropout -> LayerNorm -> Dense.  Every stage
-        # is per-token, so on TPU the whole chain runs as ONE Pallas kernel
-        # with the [*, dim_ffn] hidden resident in VMEM (ops/pallas_ffn) —
-        # ~10 ms/step of HBM round-trips under plain XLA at batch 24.
         import jax as _jax
 
-        v2 = LayerNormFp32(name="norm3")(vis)
-        fuse_ffn = (
+        drop = lambda name: nn.Dropout(self.dropout, deterministic=not train)
+        can_fuse = (
             _jax.default_backend() == "tpu"
             and self.d_model % 128 == 0
             and self.dim_ffn % 128 == 0
         )
+        # CROG_FUSED_DECODER=0 keeps the fused FFN but runs the attention
+        # blocks on plain XLA (A/B lever; trace-time constant)
+        fuse = can_fuse and os.environ.get("CROG_FUSED_DECODER", "1") != "0"
+        use_drop = train and self.dropout > 0.0
+
+        def _seed():
+            if use_drop:
+                return _jax.random.bits(
+                    self.make_rng("dropout"), (), "uint32"
+                ).astype(jnp.int32)
+            return jnp.zeros((), jnp.int32)
+
+        if fuse:
+            # each attention block — pre-LN, q/k/v projections, all-head
+            # attention, out projection, post-LN, dropout, residual — runs
+            # as ONE Pallas kernel per sample (ops/pallas_decoder): the
+            # [B, 676, 512] activation is read once and written once
+            # instead of round-tripping HBM at every stage.
+            from crog_tpu.ops.pallas_decoder import (
+                decoder_cross_block,
+                decoder_self_block,
+            )
+
+            d = self.d_model
+            sa = _MHAParams(d, name="self_attn")()
+            g1, be1 = _LNShell(d, name="norm1")()
+            gs, bs = _LNShell(d, name="self_attn_norm")()
+            vis = decoder_self_block(
+                vis, vis_pos[0], *sa, g1, be1, gs, bs,
+                _seed(), self.nhead, float(self.dropout), use_drop,
+            )
+            ca = _MHAParams(d, name="multihead_attn")()
+            g2, be2 = _LNShell(d, name="norm2")()
+            gc, bc = _LNShell(d, name="cross_attn_norm")()
+            vis = decoder_cross_block(
+                vis, txt, vis_pos[0], txt_pos[0], pad_mask,
+                *ca, g2, be2, gc, bc,
+                _seed(), self.nhead, float(self.dropout), use_drop,
+            )
+        else:
+            # self-attention over visual tokens
+            v2 = LayerNormFp32(name="norm1")(vis)
+            q = k = v2 + vis_pos.astype(v2.dtype)
+            v2 = MultiHeadAttention(
+                self.nhead, dtype=self.dtype, name="self_attn"
+            )(q, k, v2)
+            v2 = LayerNormFp32(name="self_attn_norm")(v2)
+            vis = vis + drop("d1")(v2)
+            # cross-attention to text
+            v2 = LayerNormFp32(name="norm2")(vis)
+            v2 = MultiHeadAttention(
+                self.nhead, dtype=self.dtype, name="multihead_attn"
+            )(
+                v2 + vis_pos.astype(v2.dtype),
+                txt + txt_pos.astype(txt.dtype),
+                txt,
+                key_padding_mask=pad_mask,
+            )
+            v2 = LayerNormFp32(name="cross_attn_norm")(v2)
+            vis = vis + drop("d2")(v2)
+        # FFN: Dense -> ReLU -> Dropout -> LayerNorm -> Dense.  Every stage
+        # is per-token, so on TPU the whole chain runs as ONE Pallas kernel
+        # with the [*, dim_ffn] hidden resident in VMEM (ops/pallas_ffn) —
+        # ~10 ms/step of HBM round-trips under plain XLA at batch 24.
+        v2 = LayerNormFp32(name="norm3")(vis)
+        fuse_ffn = can_fuse
         if fuse_ffn:
             from crog_tpu.ops.pallas_ffn import fused_ffn
 

@@ -21,11 +21,26 @@ import sys
 from collections import defaultdict
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def capture_ssg(steps: int, batch: int, logdir: str):
     """SSG train-step trace (second model family, train_ssg.py)."""
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import synthetic_ssg_batch
     from crog_tpu.engine.optim import make_optimizer
@@ -77,6 +92,7 @@ def capture(steps: int, batch: int, logdir: str):
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import synthetic_device_batch
     from crog_tpu.engine.crog_engine import create_train_state, make_train_step
@@ -146,6 +162,7 @@ def aggregate(logdir: str, steps: int):
             lane_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
     by_name = defaultdict(float)
     bytes_by_name = defaultdict(float)
+    region_time = defaultdict(float)
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -161,6 +178,15 @@ def aggregate(logdir: str, steps: int):
                     bytes_by_name[name] += float(args[k])
                 except (TypeError, ValueError):
                     pass
+        # region = first scope segment below the (possibly transposed) model
+        # call in the op's metadata path, e.g.
+        # "jit(step)/transpose(jvp(CROG))/decoder/layer_2/..." -> "decoder"
+        top = args.get("tf_op") or args.get("long_name") or ""
+        m = re.search(r"\(?(?:jvp|vjp)?\(?CROG\)?\)?/([A-Za-z0-9_.]+)", top)
+        if m:
+            region_time[m.group(1)] += e.get("dur", 0.0)
+        elif top:
+            region_time["<other-scope>"] += e.get("dur", 0.0)
     total = sum(by_name.values())
     print(f"\ntrace: {path}")
     print(f"device time total: {total/1e3/steps:.2f} ms/step over {steps} steps")
@@ -181,6 +207,11 @@ def aggregate(logdir: str, steps: int):
     print("\ncategory rollup (ms/step):")
     for cat, dur in sorted(cat_time.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:15s} {dur/1e3/steps:8.2f}  ({100*dur/total:.1f}%)")
+    if region_time:
+        print("\nregion rollup (ms/step, by op metadata scope):")
+        for reg, dur in sorted(region_time.items(), key=lambda kv: -kv[1]):
+            if dur / 1e3 / steps >= 0.05:
+                print(f"  {reg:24s} {dur/1e3/steps:8.2f}  ({100*dur/total:.1f}%)")
 
 
 if __name__ == "__main__":
