@@ -113,9 +113,16 @@ def check_pallas_engaged(train_step, state, batch, key) -> bool:
 
 
 def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
-    """One pass of the real host pipeline feeding the jitted step."""
+    """Host pipeline feeding the jitted step.
+
+    Returns (cold, warm) samples/s/chip: cold = epoch-1 wall clock with the
+    full per-sample host pipeline in the loop; warm = epoch-2 with the
+    SampleCache serving preprocessed samples from RAM (what epochs 2..N of
+    a real run see — the CROG pipeline is deterministic, so this is exact).
+    """
     import jax
 
+    from crog_tpu.data.cache import SampleCache
     from crog_tpu.data.loader import DataLoader, device_put_crog
     from crog_tpu.data.synthetic import SyntheticOCIDVLG
 
@@ -124,10 +131,10 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
     # BENCH_WIRE: raw (device-side raster+blur+letterbox, the default),
     # compact (uint8 planes, host warp), legacy (float32 host pipeline)
     wire = os.environ.get("BENCH_WIRE", "raw")
-    ds = SyntheticOCIDVLG(
+    ds = SampleCache(SyntheticOCIDVLG(
         num_samples=b * (n_batches + 2), split="train",
         compact=wire == "compact", raw=wire == "raw",
-    )
+    ))
     loader = DataLoader(
         ds,
         batch_size=b,
@@ -137,22 +144,60 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
         device_put_fn=lambda batch: device_put_crog(batch, sharding),
         prefetch=2,
     )
-    it = iter(loader)
-    # warmup: first batches hide pool spin-up + any residual compile
-    for _ in range(2):
-        state, metrics = train_step(state, next(it), key)
-    float(jax.device_get(metrics["loss"]))
+    def run_pass(state, epoch):
+        # the jitted step DONATES state, so it must be threaded through and
+        # returned (the caller's old reference is a deleted buffer)
+        loader.set_epoch(epoch)
+        it = iter(loader)
+        warm_batches = 2 if epoch == 0 else 1
+        for _ in range(warm_batches):
+            state, metrics = train_step(state, next(it), key)
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        n = 0
+        for batch in it:
+            state, metrics = train_step(state, batch, key)
+            n += batch["word"].shape[0]
+            if n >= n_batches * b:
+                break
+        loss = float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+        # CLOSE the iterator: its producer thread keeps prefetching (and
+        # device_put-ing over the wire) after the early break otherwise,
+        # competing with whatever is measured next
+        it.close()
+        assert np.isfinite(loss), f"non-finite e2e loss {loss}"
+        return state, n / dt / n_chips
+
+    state, cold = run_pass(state, 0)
+    # epoch 2: samples served from the SampleCache (RAM)
+    state, warm = run_pass(state, 1)
+
+    # context numbers that bound e2e on this rig: the pure host-pipeline
+    # production rate (no device traffic) and the host->device wire
+    # bandwidth (on a tunneled/remote device this, not the framework, can
+    # be the e2e ceiling: batch_MB / put_MBps of transfer per batch)
     t0 = time.perf_counter()
-    n = 0
-    for batch in it:
-        state, metrics = train_step(state, batch, key)
-        n += batch["word"].shape[0]
-        if n >= n_batches * b:
-            break
-    loss = float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss), f"non-finite e2e loss {loss}"
-    return n / dt / n_chips
+    host_n = 0
+    for batch in _host_only_batches(ds.dataset, b, 4):  # UNcached rate
+        host_n += batch["word"].shape[0]
+    host_rate = host_n / (time.perf_counter() - t0) / n_chips
+    sample = next(_host_only_batches(ds, b, 1))
+    dense = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
+    nbytes = sum(v.nbytes for v in dense.values())
+    jax.device_get(jax.device_put(dense))  # warm the path
+    t0 = time.perf_counter()
+    put = jax.device_put(dense, sharding)
+    jax.device_get({k: v[0] for k, v in put.items()})
+    put_mbps = nbytes / (time.perf_counter() - t0) / 1e6
+    return cold, warm, host_rate, nbytes / 1e6, put_mbps
+
+
+def _host_only_batches(ds, b, n_batches):
+    from crog_tpu.data.loader import collate_crog
+
+    for i in range(n_batches):
+        yield collate_crog([ds[(i * b + j) % len(ds)] for j in range(b)])
 
 
 def synthetic_ssg_batch(b, s=544, max_objs=24, num_classes=32):
@@ -352,11 +397,16 @@ def main():
     if os.environ.get("BENCH_EVAL", "1") == "1":
         eval_per_chip = bench_eval(model, state, batch_np, sharding, n_chips)
 
-    e2e_per_chip = None
+    e2e_per_chip = e2e_warm = e2e_ctx = None
     if os.environ.get("BENCH_E2E", "1") == "1":
-        e2e_per_chip = bench_e2e(
+        e2e_per_chip, e2e_warm, host_rate, batch_mb, put_mbps = bench_e2e(
             train_step, state, key, per_chip_batch, n_chips, sharding
         )
+        e2e_ctx = {
+            "host_pipeline_samples_s": round(host_rate, 2),
+            "batch_MB": round(batch_mb, 2),
+            "wire_MBps": round(put_mbps, 1),
+        }
 
     ssg_per_chip = None
     if os.environ.get("BENCH_SSG", "1") == "1":
@@ -390,7 +440,9 @@ def main():
     if e2e_per_chip is not None:
         out["e2e_samples_s_per_chip"] = round(e2e_per_chip, 2)
         out["e2e_vs_baseline"] = round(e2e_per_chip / PER_CHIP_BASELINE, 3)
+        out["e2e_warm_samples_s_per_chip"] = round(e2e_warm, 2)
         out["host_cores"] = os.cpu_count()
+        out.update(e2e_ctx)
     if ssg_per_chip is not None:
         out["ssg_samples_s_per_chip"] = round(ssg_per_chip, 2)
     print(json.dumps(out))

@@ -382,7 +382,18 @@ def inference_with_grasp(
         def on_batch(batch, out, n_valid):  # noqa: F811
             from crog_tpu.data.compact import unpack_compact_host
 
-            batch = unpack_compact_host(batch)
+            if "raw_img_u8" in batch:
+                from crog_tpu.data.rawwire import RAW_KEYS, unpack_raw
+
+                size = int(getattr(args, "input_size", 416)) if args else 416
+                dense = {
+                    k: jnp.asarray(batch[k])
+                    for k in RAW_KEYS + ("word",) if k in batch
+                }
+                unpacked = jax.device_get(unpack_raw(dense, size))
+                batch = {**batch, **unpacked}
+            else:
+                batch = unpack_compact_host(batch)
             bi = counter["batch"]
             counter["batch"] += 1
             rects = _np.asarray(out["rects"])

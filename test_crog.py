@@ -79,9 +79,13 @@ def main():
         num_workers=args.get("workers_val", 4),
         device_put_fn=lambda b: device_put_crog(b),
     )
-    from crog_tpu.data.compact import unpack_compact_host
+    # init needs only SHAPES — independent of the wire format on the loader
+    import jax.numpy as jnp
 
-    example = unpack_compact_host(next(iter(loader)))
+    example = {
+        "img": jnp.zeros((1, args.input_size, args.input_size, 3), jnp.float32),
+        "word": jnp.zeros((1, args.word_len), jnp.int32),
+    }
     variables = load_eval_variables(args, model, example)
     eval_step = make_eval_step(
         model, input_size=args.input_size,

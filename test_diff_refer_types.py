@@ -69,15 +69,14 @@ def main():
     base_ds = build_dataset(args, args.test_split)
     eval_step = make_eval_step(model, input_size=args.input_size)
 
-    probe_loader = DataLoader(
-        base_ds, batch_size=1, num_workers=1,
-        device_put_fn=lambda b: device_put_crog(b),
-    )
-    from crog_tpu.data.compact import unpack_compact_host
+    # init needs only SHAPES — independent of the wire format on the loader
+    import jax.numpy as jnp
 
-    variables = load_eval_variables(
-        args, model, unpack_compact_host(next(iter(probe_loader)))
-    )
+    example = {
+        "img": jnp.zeros((1, args.input_size, args.input_size, 3), jnp.float32),
+        "word": jnp.zeros((1, args.word_len), jnp.int32),
+    }
+    variables = load_eval_variables(args, model, example)
 
     results = {}
     for rtype, indices in refer_types.items():

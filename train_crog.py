@@ -58,30 +58,53 @@ def get_parser():
 
 
 def build_dataset(args, split: str):
-    # compact uint8 wire format (crog_tpu.data.compact): bit-exact to the
-    # float pipeline, ~5x fewer bytes host->device; on by default
-    compact = bool(args.get("compact_transfer", True))
+    # wire_format: what the host ships to the device per sample.
+    #   raw     — unwarped uint8 planes + grasp-rect params; rasterization,
+    #             gaussian blur and the letterbox warp run INSIDE the jitted
+    #             step (crog_tpu.data.rawwire).  Least host work, default.
+    #   compact — host warps, ships uint8 canvases; /255 + CLIP normalize +
+    #             sin/cos on device (crog_tpu.data.compact).  Bit-exact to
+    #             legacy.
+    #   legacy  — full float32 host pipeline (reference semantics,
+    #             utils/dataset.py:843-914).
+    # compact_transfer (older flag) is honored when wire_format is unset.
+    wire = args.get(
+        "wire_format",
+        "compact" if args.get("compact_transfer", True) else "legacy",
+    )
+    kw = dict(compact=wire == "compact", raw=wire == "raw")
     if args.dataset == "synthetic":
         from crog_tpu.data.synthetic import SyntheticOCIDVLG
 
         n = {"train": 512, "val": 128}.get(split, 128)
-        return SyntheticOCIDVLG(
+        ds = SyntheticOCIDVLG(
             num_samples=int(args.get("synthetic_samples", n)),
             split=split,
             input_size=args.input_size,
             word_length=args.word_len,
-            compact=compact,
+            **kw,
         )
-    from crog_tpu.data.ocid_vlg import OCIDVLGDataset
+    else:
+        from crog_tpu.data.ocid_vlg import OCIDVLGDataset
 
-    return OCIDVLGDataset(
-        root_dir=args.root_path,
-        split=split,
-        input_size=args.input_size,
-        word_length=args.word_len,
-        version=args.get("version", "multiple"),
-        compact=compact,
-    )
+        ds = OCIDVLGDataset(
+            root_dir=args.root_path,
+            split=split,
+            input_size=args.input_size,
+            word_length=args.word_len,
+            version=args.get("version", "multiple"),
+            **kw,
+        )
+    # cache_samples: decode+preprocess each sample once, serve epochs 2..N
+    # from RAM (semantically exact — the CROG pipeline has no random
+    # augmentation).  True = 4 GiB bound, or an explicit byte count.
+    cache = args.get("cache_samples", False)
+    if cache:
+        from crog_tpu.data.cache import SampleCache
+
+        max_bytes = (4 << 30) if cache is True else int(cache)
+        ds = SampleCache(ds, max_bytes=max_bytes)
+    return ds
 
 
 def maybe_load_pretrained_clip(args, state):
@@ -155,9 +178,12 @@ def main():
     )
     steps_per_epoch = len(train_loader)
 
-    from crog_tpu.data.compact import unpack_compact_host
-
-    example = unpack_compact_host(next(iter(train_loader)))
+    # init needs only SHAPES (batch dim is irrelevant to the param tree);
+    # building them directly avoids consuming a loader batch before step 0
+    example = {
+        "img": jnp.zeros((1, args.input_size, args.input_size, 3), jnp.float32),
+        "word": jnp.zeros((1, args.word_len), jnp.int32),
+    }
     init_params_shape = jax.eval_shape(
         lambda: model.init(
             {"params": jax.random.PRNGKey(0)}, example["img"], example["word"],
