@@ -51,6 +51,7 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     class StemOnly(ModifiedResNet):
+        @nn.compact
         def __call__(self, x, train=False):  # noqa: D401
             if self.stem_s2d and x.shape[1] % 4 == 0:
                 return self._stem_s2d(x, train)
@@ -93,7 +94,7 @@ def main():
     from crog_tpu.models.clip import Bottleneck
 
     class Layer1(nn.Module):
-        dtype: object = dtype
+        dtype: object = jnp.bfloat16
 
         @nn.compact
         def __call__(self, x, train=False):
@@ -108,7 +109,7 @@ def main():
     t_l1 = time_module("layer1 (3 bottlenecks)", Layer1(), x1)
 
     class Layer2(nn.Module):
-        dtype: object = dtype
+        dtype: object = jnp.bfloat16
 
         @nn.compact
         def __call__(self, x, train=False):
