@@ -21,6 +21,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Sequence, Tuple
 
@@ -305,7 +306,19 @@ class ModifiedResNet(nn.Module):
     def _stem_s2d(self, x, train: bool):
         """The same stem computed in space-to-depth domain (see ops/s2d):
         identical parameters, identical tap sums, 4x fewer padded lanes on
-        every HBM byte.  Input H,W must be divisible by 4 (416 is)."""
+        every HBM byte.  Input H,W must be divisible by 4 (416 is).
+
+        CROG_FUSED_STEM=1 (off by default; trace-time constant) runs the
+        two stride-1 blocked convs as the gathered-patch Pallas kernel
+        (ops/pallas_s2dconv), which drops the blocked kernels' 4x
+        structural-zero MXU tax to 1.78x — but MEASURED SLOWER on v5e
+        (stem fwd+bwd 11.21 ms vs 7.65 ms at batch 24; per-conv: conv2
+        f+b 2.16 vs 2.00, conv3 3.68 vs 2.88): the f32 im2col assembly
+        traffic in VMEM (forced by Mosaic's corrupt bf16 offset
+        relayouts) costs more than the zeros it removes.  Kept as the
+        A/B lever + numeric parity artifact; the XLA zero-embedded conv
+        is the production path."""
+        from crog_tpu.ops import pallas_s2dconv
         from crog_tpu.ops.s2d import (
             block_kernel_s1,
             block_kernel_s2,
@@ -320,6 +333,21 @@ class ModifiedResNet(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             window_strides=(1, 1),
         )
+        gather = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("CROG_FUSED_STEM", "0") == "1"
+            and (4 * h) % 128 == 0
+            and (4 * w) % 128 == 0
+        )
+        if gather:
+            # k stays fp32: the op packs-and-casts to x.dtype for the MXU
+            # and returns the weight grad from its f32 accumulator directly
+            conv_s1 = lambda x, k: pallas_s2dconv.blocked_conv3x3_s1(x, k)
+        else:
+            conv_s1 = lambda x, k: conv(
+                x, block_kernel_s1(k).astype(self.dtype),
+                padding=((1, 1), (1, 1)),
+            )
         k1 = _ConvKernel((3, 3, x.shape[-1], h), name="conv1")()
         k2 = _ConvKernel((3, 3, h, h), name="conv2")()
         k3 = _ConvKernel((3, 3, h, w), name="conv3")()
@@ -332,13 +360,9 @@ class ModifiedResNet(nn.Module):
             padding=((1, 0), (1, 0)),
         )
         x = _blocked_bn_relu(bn1, x, h, train, self.dtype)
-        x = conv(
-            x, block_kernel_s1(k2).astype(self.dtype), padding=((1, 1), (1, 1))
-        )
+        x = conv_s1(x, k2)
         x = _blocked_bn_relu(bn2, x, h, train, self.dtype)
-        x = conv(
-            x, block_kernel_s1(k3).astype(self.dtype), padding=((1, 1), (1, 1))
-        )
+        x = conv_s1(x, k3)
         x = _blocked_bn_relu(bn3, x, w, train, self.dtype)
         return block_mean(x, w)
 
