@@ -133,6 +133,51 @@ def _dense(params: dict, prefix: Tuple[str, ...], w, b=None):
         _set(params, prefix + ("bias",), b)
 
 
+def _bn_map(sd, params, stats, src_prefix: str, dst: Tuple[str, ...]):
+    """torch BatchNorm1d/2d -> flax BatchNorm params + batch_stats."""
+    _set(params, dst + ("scale",), sd[f"{src_prefix}.weight"])
+    _set(params, dst + ("bias",), sd[f"{src_prefix}.bias"])
+    _set(stats, dst + ("mean",), sd[f"{src_prefix}.running_mean"])
+    _set(stats, dst + ("var",), sd[f"{src_prefix}.running_var"])
+
+
+def _ln_map(sd, params, src_prefix: str, dst: Tuple[str, ...]):
+    """torch LayerNorm -> LayerNormFp32's tree (<dst>/LayerNorm_0/...)."""
+    _set(params, dst + ("LayerNorm_0", "scale"), sd[f"{src_prefix}.weight"])
+    _set(params, dst + ("LayerNorm_0", "bias"), sd[f"{src_prefix}.bias"])
+
+
+def _mha_map(sd, params, src_prefix: str, dst: Tuple[str, ...]):
+    """torch nn.MultiheadAttention (packed in_proj) or separate q/k/v
+    linears -> MultiHeadAttention's q/k/v/out_proj dense tree."""
+    if f"{src_prefix}.in_proj_weight" in sd:
+        w = sd[f"{src_prefix}.in_proj_weight"]
+        b = sd[f"{src_prefix}.in_proj_bias"]
+        d = w.shape[1]
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _dense(
+                params, dst + (name,),
+                w[i * d : (i + 1) * d], b[i * d : (i + 1) * d],
+            )
+    else:
+        for name in ("q_proj", "k_proj", "v_proj"):
+            _dense(
+                params,
+                dst + (name,),
+                sd[f"{src_prefix}.{name}.weight"],
+                sd.get(f"{src_prefix}.{name}.bias"),
+            )
+    out_key = (
+        f"{src_prefix}.out_proj"
+        if f"{src_prefix}.out_proj.weight" in sd
+        else f"{src_prefix}.c_proj"
+    )
+    _dense(
+        params, dst + ("out_proj",), sd[f"{out_key}.weight"],
+        sd.get(f"{out_key}.bias"),
+    )
+
+
 def convert_clip_state_dict(
     sd: Dict[str, np.ndarray],
 ) -> Tuple[dict, dict]:
@@ -142,41 +187,14 @@ def convert_clip_state_dict(
     stats: dict = {}
 
     def bn(src_prefix: str, dst: Tuple[str, ...]):
-        _set(params, dst + ("scale",), sd[f"{src_prefix}.weight"])
-        _set(params, dst + ("bias",), sd[f"{src_prefix}.bias"])
-        _set(stats, dst + ("mean",), sd[f"{src_prefix}.running_mean"])
-        _set(stats, dst + ("var",), sd[f"{src_prefix}.running_var"])
+        _bn_map(sd, params, stats, src_prefix, dst)
 
     def mha(src_prefix: str, dst: Tuple[str, ...]):
-        """torch nn.MultiheadAttention (packed) or separate q/k/v linears."""
-        if f"{src_prefix}.in_proj_weight" in sd:
-            w = sd[f"{src_prefix}.in_proj_weight"]
-            b = sd[f"{src_prefix}.in_proj_bias"]
-            d = w.shape[1]
-            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
-                _dense(params, dst + (name,), w[i * d : (i + 1) * d], b[i * d : (i + 1) * d])
-        else:
-            for name in ("q_proj", "k_proj", "v_proj"):
-                _dense(
-                    params,
-                    dst + (name,),
-                    sd[f"{src_prefix}.{name}.weight"],
-                    sd.get(f"{src_prefix}.{name}.bias"),
-                )
-        out_key = (
-            f"{src_prefix}.out_proj"
-            if f"{src_prefix}.out_proj.weight" in sd
-            else f"{src_prefix}.c_proj"
-        )
-        _dense(
-            params, dst + ("out_proj",), sd[f"{out_key}.weight"],
-            sd.get(f"{out_key}.bias"),
-        )
+        _mha_map(sd, params, src_prefix, dst)
 
     def ln(src_prefix: str, dst: Tuple[str, ...]):
         # LayerNormFp32 wraps an anonymous nn.LayerNorm child
-        _set(params, dst + ("LayerNorm_0", "scale"), sd[f"{src_prefix}.weight"])
-        _set(params, dst + ("LayerNorm_0", "bias"), sd[f"{src_prefix}.bias"])
+        _ln_map(sd, params, src_prefix, dst)
 
     def text_tower():
         tr = ("transformer",)
@@ -318,4 +336,185 @@ def merge_pretrained_clip(variables: dict, params: dict, stats: dict) -> dict:
     var = flax.core.unfreeze(var) if hasattr(flax.core, "unfreeze") else var
     deep_merge(var["params"]["backbone"], params)
     deep_merge(var.setdefault("batch_stats", {}).setdefault("backbone", {}), stats)
+    return var
+
+
+class _RecordingDict(dict):
+    """dict that records which keys were read — used to prove a checkpoint
+    conversion consumed every tensor (the reference loads trained CROG
+    checkpoints strictly, test_crog.py:79)."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            return self[k]
+        return default
+
+
+class _PrefixView:
+    """Read-through view of a _RecordingDict under a key prefix, so the CLIP
+    converter can consume `backbone.`-prefixed keys while usage is recorded
+    on the parent."""
+
+    def __init__(self, base: _RecordingDict, prefix: str):
+        self._base = base
+        self._prefix = prefix
+
+    def __getitem__(self, k):
+        return self._base[self._prefix + k]
+
+    def __contains__(self, k):
+        return (self._prefix + k) in self._base
+
+    def get(self, k, default=None):
+        return self._base.get(self._prefix + k, default)
+
+    def __iter__(self):
+        n = len(self._prefix)
+        return (k[n:] for k in self._base if k.startswith(self._prefix))
+
+
+def convert_crog_state_dict(
+    sd: Dict[str, np.ndarray], strict: bool = True
+) -> Tuple[dict, dict]:
+    """Full trained-CROG checkpoint -> (params, batch_stats) for
+    ``models.crog.CROG`` — the day-one migration path for checkpoints trained
+    with the reference (its exp/.../best_model.pth carries
+    {'state_dict': model.state_dict()} from the DDP/DataParallel-wrapped
+    model, train_crog.py:236-247, loaded strictly by test_crog.py:73-79).
+
+    Key schema converted (reference module names):
+      backbone.*   CLIP dual encoder        -> convert_clip_state_dict
+      neck.*       cross-modal FPN          (model/layers.py:342-398)
+      decoder.*    VL transformer decoder   (model/layers.py:176-339)
+      proj.*       (MultiTask)Projector     (model/layers.py:47-173)
+
+    ``strict=True`` raises if any checkpoint tensor was not consumed (after
+    ignoring torch bookkeeping: num_batches_tracked, logit_scale, the jit
+    archive's input_resolution/context_length/vocab_size scalars) — exactly
+    the guarantee torch's strict load gives the reference.
+    """
+    sd = _RecordingDict(
+        {
+            (k[len("module.") :] if k.startswith("module.") else k): np.asarray(v)
+            for k, v in sd.items()
+        }
+    )
+
+    clip_view = _PrefixView(sd, "backbone.")
+    params, stats = convert_clip_state_dict(clip_view)
+    params, stats = {"backbone": params}, {"backbone": stats}
+
+    def bn(src, dst):
+        _bn_map(sd, params, stats, src, dst)
+
+    def ln(src, dst):
+        _ln_map(sd, params, src, dst)
+
+    def cbr(src, dst):
+        """conv_layer Sequential (.0 Conv2d bias-free, .1 BatchNorm2d) ->
+        ConvBnRelu {conv, bn} (reference model/layers.py:8-12)."""
+        _set(params, dst + ("conv", "kernel"), _conv_kernel(sd[f"{src}.0.weight"]))
+        bn(f"{src}.1", dst + ("bn",))
+
+    # ---- neck: cross-modal FPN ----
+    nk = ("neck",)
+    # txt_proj is linear_layer: .0 Linear(bias=False), .1 BatchNorm1d
+    _dense(params, nk + ("txt_proj", "linear"), sd["neck.txt_proj.0.weight"])
+    bn("neck.txt_proj.1", nk + ("txt_proj", "bn"))
+    for name in (
+        "f1_v_proj", "f2_v_proj", "f2_cat", "f3_v_proj", "f3_cat",
+        "f4_proj5", "f4_proj4", "f4_proj3", "aggr",
+    ):
+        cbr(f"neck.{name}", nk + (name,))
+    bn("neck.norm_layer.0", nk + ("norm_layer_bn",))
+    cbr("neck.coordconv.0.conv1", nk + ("coordconv_0", "conv1"))
+    cbr("neck.coordconv.1", nk + ("coordconv_1",))
+
+    # ---- decoder (absent when use_contrastive=False) ----
+    dec_layers = sorted(
+        {int(k.split(".")[2]) for k in sd if k.startswith("decoder.layers.")}
+    )
+    for i in dec_layers:
+        src = f"decoder.layers.{i}"
+        dst = ("decoder", f"layer_{i}")
+        for lname in (
+            "norm1", "norm2", "norm3", "self_attn_norm", "cross_attn_norm",
+        ):
+            ln(f"{src}.{lname}", dst + (lname,))
+        _mha_map(sd, params, f"{src}.self_attn", dst + ("self_attn",))
+        _mha_map(sd, params, f"{src}.multihead_attn", dst + ("multihead_attn",))
+        # ffn Sequential: .0 Linear, .3 LayerNorm, .4 Linear
+        _dense(
+            params, dst + ("ffn_fc1",),
+            sd[f"{src}.ffn.0.weight"], sd[f"{src}.ffn.0.bias"],
+        )
+        ln(f"{src}.ffn.3", dst + ("ffn_ln",))
+        _dense(
+            params, dst + ("ffn_fc2",),
+            sd[f"{src}.ffn.4.weight"], sd[f"{src}.ffn.4.bias"],
+        )
+    if dec_layers:
+        ln("decoder.norm", ("decoder", "norm"))
+
+    # ---- projector (vis Sequential: 1/3 conv_layer, 4 Conv2d-with-bias) ----
+    pj = ("proj",)
+    cbr("proj.vis.1", pj + ("vis_conv1",))
+    cbr("proj.vis.3", pj + ("vis_conv2",))
+    _set(params, pj + ("vis_out", "kernel"), _conv_kernel(sd["proj.vis.4.weight"]))
+    _set(params, pj + ("vis_out", "bias"), sd["proj.vis.4.bias"])
+    _dense(params, pj + ("txt",), sd["proj.txt.weight"], sd["proj.txt.bias"])
+
+    ignorable = (
+        "num_batches_tracked", "logit_scale",
+        "input_resolution", "context_length", "vocab_size",
+    )
+    leftover = sorted(
+        k for k in sd
+        if k not in sd.used and not k.endswith(ignorable)
+    )
+    if strict and leftover:
+        raise ValueError(
+            f"{len(leftover)} checkpoint tensors were not consumed by the "
+            f"conversion (schema drift?): {leftover[:8]}..."
+        )
+    return params, stats
+
+
+def merge_trained_crog(variables: dict, params: dict, stats: dict) -> dict:
+    """Strict full-tree merge of a converted trained-CROG checkpoint into a
+    freshly-initialized CROG variable tree: every converted tensor must land
+    on an existing leaf with the same shape (torch strict-load semantics,
+    reference test_crog.py:79)."""
+    import jax
+    import flax
+
+    var = jax.tree_util.tree_map(lambda x: x, variables)
+    var = flax.core.unfreeze(var) if hasattr(flax.core, "unfreeze") else var
+
+    def deep_merge(dst: dict, src: dict, path=""):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k not in dst:
+                    raise ValueError(f"checkpoint has unknown module {path}/{k}")
+                deep_merge(dst[k], v, f"{path}/{k}")
+            else:
+                if k not in dst:
+                    raise ValueError(f"checkpoint has unknown tensor {path}/{k}")
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: "
+                        f"{dst[k].shape} vs {v.shape}"
+                    )
+                dst[k] = v.astype(dst[k].dtype)
+
+    deep_merge(var["params"], params, "params")
+    deep_merge(var["batch_stats"], stats, "batch_stats")
     return var

@@ -45,6 +45,13 @@ class CROG(nn.Module):
     intermediate: bool = False  # decoder return_intermediate (unused by cfgs)
     vision_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     transformer_layers: int = 12
+    # backbone geometry beyond the stock RN50 defaults (exposed so converted
+    # checkpoints of any CLIP-RN geometry can be loaded; reference
+    # model/clip.py:503-536 infers these from the checkpoint)
+    vision_width: int = 64
+    transformer_width: int = 512
+    vocab_size: int = 49408
+    clip_resolution: int = 224  # checkpoint pos-embed geometry (resized at use)
     remat: Any = False  # False | True | "selective" (save conv outs only)
     stem_s2d: bool = True  # space-to-depth stem (ops/s2d): same math, packed lanes
     dtype: Any = jnp.float32
@@ -52,8 +59,12 @@ class CROG(nn.Module):
     def setup(self):
         self.backbone = CLIPRN50(
             embed_dim=self.word_dim,
-            image_resolution=224,  # RN50 checkpoint geometry; pos-emb resized
+            image_resolution=self.clip_resolution,  # pos-emb resized at use
             vision_layers=self.vision_layers,
+            vision_width=self.vision_width,
+            transformer_width=self.transformer_width,
+            transformer_heads=self.transformer_width // 64,
+            vocab_size=self.vocab_size,
             transformer_layers=self.transformer_layers,
             remat=self.remat,
             stem_s2d=self.stem_s2d,

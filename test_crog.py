@@ -45,12 +45,27 @@ def load_eval_variables(args, model, example):
     )
     resume = args.get("resume")
     if resume and os.path.exists(resume):
-        payload = ckpt.restore_checkpoint(resume)
-        variables = {
-            "params": payload["params"],
-            "batch_stats": payload["batch_stats"],
-        }
-        logger.info(f"=> loaded checkpoint '{resume}'")
+        if resume.endswith((".pth", ".pt")):
+            # trained reference checkpoint (torch): convert on the fly —
+            # the day-one migration path (reference test_crog.py:73-79
+            # loads {'state_dict': ...} strictly; so does this merge)
+            from crog_tpu.models.convert import (
+                convert_crog_state_dict,
+                load_torch_state_dict,
+                merge_trained_crog,
+            )
+
+            sd = load_torch_state_dict(resume)
+            params, stats = convert_crog_state_dict(sd)
+            variables = merge_trained_crog(variables, params, stats)
+            logger.info(f"=> converted torch checkpoint '{resume}'")
+        else:
+            payload = ckpt.restore_checkpoint(resume)
+            variables = {
+                "params": payload["params"],
+                "batch_stats": payload["batch_stats"],
+            }
+            logger.info(f"=> loaded checkpoint '{resume}'")
     else:
         logger.warning(
             f"checkpoint {resume!r} not found — evaluating fresh weights"
