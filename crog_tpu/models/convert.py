@@ -518,3 +518,86 @@ def merge_trained_crog(variables: dict, params: dict, stats: dict) -> dict:
     deep_merge(var["params"], params, "params")
     deep_merge(var["batch_stats"], stats, "batch_stats")
     return var
+
+
+def convert_ssg_state_dict(
+    sd: Dict[str, np.ndarray], strict: bool = True
+) -> Tuple[dict, dict]:
+    """Trained reference SSG checkpoint -> (params, batch_stats) for
+    ``models.ssg.SSG`` (reference model/ssg.py:208-245; torchvision-style
+    ResNet :53-114, FPN :172-205, ProtoNet :150-169, PredictionModule
+    :117-147).  Same strict-consumption contract as convert_crog_state_dict.
+    """
+    sd = _RecordingDict(
+        {
+            (k[len("module.") :] if k.startswith("module.") else k): np.asarray(v)
+            for k, v in sd.items()
+        }
+    )
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(src, dst, bias=True):
+        _set(params, dst + ("kernel",), _conv_kernel(sd[f"{src}.weight"]))
+        if bias and f"{src}.bias" in sd:
+            _set(params, dst + ("bias",), sd[f"{src}.bias"])
+
+    def bn(src, dst):
+        _bn_map(sd, params, stats, src, dst)
+
+    # ---- backbone: torchvision ResNet with stages in a ModuleList ----
+    bb = ("backbone",)
+    conv("backbone.conv1", bb + ("conv1",), bias=False)
+    bn("backbone.bn1", bb + ("bn1",))
+    block_re = re.compile(r"backbone\.layers\.(\d+)\.(\d+)\.conv1\.weight")
+    blocks = sorted(
+        {(int(m.group(1)), int(m.group(2)))
+         for k in sd if (m := block_re.match(k))}
+    )
+    for si, bi in blocks:
+        src = f"backbone.layers.{si}.{bi}"
+        dst = bb + (f"layer{si + 1}_{bi}",)
+        for i in (1, 2, 3):
+            conv(f"{src}.conv{i}", dst + (f"conv{i}",), bias=False)
+            bn(f"{src}.bn{i}", dst + (f"bn{i}",))
+        if f"{src}.downsample.0.weight" in sd:
+            conv(f"{src}.downsample.0", dst + ("downsample_conv",), bias=False)
+            bn(f"{src}.downsample.1", dst + ("downsample_bn",))
+
+    # ---- FPN: lateral 1x1s, 3x3 pred convs, two stride-2 downs ----
+    for j in range(3):
+        conv(f"fpn.lat_layers.{j}", ("fpn", f"lat{j}"))
+        conv(f"fpn.pred_layers.{j}.0", ("fpn", f"pred{j}"))
+    for j in range(2):
+        conv(f"fpn.downsample_layers.{j}.0", ("fpn", f"down{j}"))
+
+    # ---- ProtoNet: proto1 Sequential convs at .0/.2/.4, proto2 at .0/.2 ----
+    for i, idx in enumerate((0, 2, 4)):
+        conv(f"proto_net.proto1.{idx}", ("proto_net", f"proto1_{i}"))
+    conv("proto_net.proto2.0", ("proto_net", "proto2_0"))
+    conv("proto_net.proto2.2", ("proto_net", "proto2_1"))
+
+    # ---- shared prediction head ----
+    pl = ("prediction_layers",)
+    conv("prediction_layers.upfeature.0", pl + ("upfeature",))
+    conv("prediction_layers.conf_layer", pl + ("conf_layer",))
+    conv("prediction_layers.bbox_layer", pl + ("bbox_layer",))
+    conv("prediction_layers.coef_layer.0", pl + ("coef_layer",))
+    if "prediction_layers.grasp_coef_layer.0.weight" in sd:
+        conv("prediction_layers.grasp_coef_layer.0", pl + ("grasp_coef_layer",))
+
+    # ---- train-only semantic seg head (present when saved from training) ----
+    if "semantic_seg_conv.weight" in sd:
+        conv("semantic_seg_conv", ("semantic_seg_conv",))
+
+    leftover = sorted(
+        k for k in sd
+        if k not in sd.used and not k.endswith("num_batches_tracked")
+        and not k.startswith("anchors")
+    )
+    if strict and leftover:
+        raise ValueError(
+            f"{len(leftover)} checkpoint tensors were not consumed by the "
+            f"conversion (schema drift?): {leftover[:8]}..."
+        )
+    return params, stats

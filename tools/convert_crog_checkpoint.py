@@ -30,6 +30,10 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--src", required=True, help="torch checkpoint (.pth)")
     p.add_argument("--dst", required=True, help="orbax checkpoint dir to write")
+    p.add_argument(
+        "--model", choices=("crog", "ssg"), default=None,
+        help="model family (default: inferred from the config)",
+    )
     args = p.parse_args()
 
     import jax
@@ -40,21 +44,36 @@ def main():
     from crog_tpu.config import load_cfg_from_cfg_file
     from crog_tpu.models.convert import (
         convert_crog_state_dict,
+        convert_ssg_state_dict,
         load_torch_state_dict,
         merge_trained_crog,
     )
-    from crog_tpu.models.crog import build_crog
 
     cfg = load_cfg_from_cfg_file(args.config)
-    model, _ = build_crog(cfg)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32),
-        jnp.zeros((1, cfg.word_len), jnp.int32),
-        train=False,
-    )
+    family = args.model or ("ssg" if "num_protos" in cfg else "crog")
     sd = load_torch_state_dict(args.src)
-    params, stats = convert_crog_state_dict(sd)
+    if family == "ssg":
+        from crog_tpu.models.ssg import build_ssg
+
+        model, _ = build_ssg(cfg)
+        chans = 4 if cfg.with_depth else 3
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.img_size, cfg.img_size, chans), jnp.float32),
+            train=True,  # train: the semantic seg head is part of the tree
+        )
+        params, stats = convert_ssg_state_dict(sd)
+    else:
+        from crog_tpu.models.crog import build_crog
+
+        model, _ = build_crog(cfg)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32),
+            jnp.zeros((1, cfg.word_len), jnp.int32),
+            train=False,
+        )
+        params, stats = convert_crog_state_dict(sd)
     variables = merge_trained_crog(variables, params, stats)
     payload = {
         "params": jax.device_get(variables["params"]),
