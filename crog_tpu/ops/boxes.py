@@ -115,10 +115,9 @@ def match(
     return offsets, conf, anchor_max_gt, anchor_max_i
 
 
-def crop_masks(masks, boxes, padding: int = 1, outside_value: float = 0.0):
-    """Zero (or fill) everything outside each box (reference
-    utils/box_utils.py:150-199).  masks: [H, W, N]; boxes: [N, 4] relative."""
-    h, w, n = masks.shape
+def box_inside_mask(boxes, h: int, w: int, padding: int = 1):
+    """[N, 4] relative boxes -> boolean [H, W, N] inside-box mask (the
+    membership test of reference utils/box_utils.py:150-199)."""
 
     def sanitize(a, b, size):
         a = a * size
@@ -127,16 +126,24 @@ def crop_masks(masks, boxes, padding: int = 1, outside_value: float = 0.0):
         hi = jnp.maximum(a, b)
         return jnp.clip(lo - padding, 0), jnp.clip(hi + padding, None, size)
 
+    n = boxes.shape[0]
     x1, x2 = sanitize(boxes[:, 0], boxes[:, 2], w)
     y1, y2 = sanitize(boxes[:, 1], boxes[:, 3], h)
     rows = jax.lax.broadcasted_iota(jnp.float32, (h, w, n), 1)
     cols = jax.lax.broadcasted_iota(jnp.float32, (h, w, n), 0)
-    inside = (
+    return (
         (rows >= x1[None, None])
         & (rows < x2[None, None])
         & (cols >= y1[None, None])
         & (cols < y2[None, None])
     )
+
+
+def crop_masks(masks, boxes, padding: int = 1, outside_value: float = 0.0):
+    """Zero (or fill) everything outside each box (reference
+    utils/box_utils.py:150-199).  masks: [H, W, N]; boxes: [N, 4] relative."""
+    h, w, n = masks.shape
+    inside = box_inside_mask(boxes, h, w, padding)
     return jnp.where(inside, masks, outside_value)
 
 

@@ -182,7 +182,7 @@ def aggregate(logdir: str, steps: int):
         # call in the op's metadata path, e.g.
         # "jit(step)/transpose(jvp(CROG))/decoder/layer_2/..." -> "decoder"
         top = args.get("tf_op") or args.get("long_name") or ""
-        m = re.search(r"\(?(?:jvp|vjp)?\(?CROG\)?\)?/([A-Za-z0-9_.]+)", top)
+        m = re.search(r"\(?(?:jvp|vjp)?\(?(?:CROG|SSG)\)?\)?/([A-Za-z0-9_.]+)", top)
         if m:
             region_time[m.group(1)] += e.get("dur", 0.0)
         elif top:
