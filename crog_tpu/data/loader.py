@@ -25,7 +25,7 @@ def collate_crog(samples: List[Dict]) -> Dict:
     stack_keys = (
         "img", "mask", "qua", "sin", "cos", "wid", "ang", "word", "inverse",
         "ori_size", "img_u8", "planes_u8",
-        "raw_img_u8", "raw_mask_u8", "rect_corners", "rect_vals",
+        "raw_img_u8", "raw_mask_bits", "rect_corners", "rect_vals",
     )
     for k in stack_keys:
         if k in samples[0]:

@@ -207,14 +207,14 @@ class OCIDVLGDataset:
             # raw wire format (crog_tpu.data.rawwire): ship the UNWARPED
             # uint8 planes + per-grasp raster params; rasterization, blur
             # and the letterbox warp all run on device inside the jit
-            from crog_tpu.data.rawwire import pack_raster_params
+            from crog_tpu.data.rawwire import pack_mask_bits, pack_raster_params
 
             out = {
                 "word": tokenize(sentence, self.word_length, True)[0],
                 "inverse": mat_inv.astype(np.float32),
                 "ori_size": np.asarray(ori_size, np.int32),
                 "raw_img_u8": np.ascontiguousarray(img),
-                "raw_mask_u8": ins_mask,
+                "raw_mask_bits": pack_mask_bits(ins_mask),
             }
             if rects is not None:
                 corners, vals = pack_raster_params(

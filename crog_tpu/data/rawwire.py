@@ -9,7 +9,11 @@ normalization + sin/cos on device but still paid host raster + blur + warp
 host ships only:
 
   * ``raw_img_u8``  [H0, W0, 3] — the UNWARPED camera image
-  * ``raw_mask_u8`` [H0, W0]    — the unwarped instance mask (0/255)
+  * ``raw_mask_bits`` [H0, ceil(W0/8)] uint8 — the unwarped 0/255 instance
+    mask packed to bits (np.packbits, MSB-first): the mask is 1-bit
+    information, and shipping it packed cuts the raw wire ~24% (it was a
+    full uint8 plane = 1/4 of the batch bytes; on a 1-core host the
+    host->device serialization of those bytes is on the e2e critical path)
   * ``rect_corners`` [R, 4, 2] int32 — per-grasp integer corner points,
     exactly the ``box_points(...).astype(int64)`` the host rasterizer uses
     (reference utils/dataset.py:652-654)
@@ -56,11 +60,21 @@ from crog_tpu.ops.filters import _gaussian_kernel1d
 from crog_tpu.ops.rects import box_points
 from crog_tpu.ops.resize import affine_axis_matrix
 
-RAW_KEYS = ("raw_img_u8", "raw_mask_u8", "rect_corners", "rect_vals")
+RAW_KEYS = ("raw_img_u8", "raw_mask_bits", "rect_corners", "rect_vals")
 
 
 def is_raw(batch: Dict) -> bool:
     return "raw_img_u8" in batch
+
+
+def pack_mask_bits(mask_u8: np.ndarray) -> np.ndarray:
+    """[H, W] 0/255 uint8 instance mask -> [H, ceil(W/8)] uint8 bit plane.
+
+    MSB-first (np.packbits default); ``unpack_raw`` reverses it on device.
+    The 0/255 contract is the module docstring's: binary masks only (the
+    legacy path's mask/255 on 0/255 inputs is exactly the 0/1 this carries).
+    """
+    return np.packbits(np.asarray(mask_u8) > 127, axis=-1)
 
 
 # ------------------------------------------------------------------- host side
@@ -209,7 +223,11 @@ def unpack_raw(batch: Dict, input_size: int) -> Dict:
     )
     img_w = _warp(img, *mats["cub"], hi)
 
-    mask = jnp.asarray(_TAB["over255"])[batch["raw_mask_u8"].astype(jnp.int32)]
+    # mask arrives bit-packed (pack_mask_bits, MSB-first): unpack to 0/1 f32
+    bits = batch["raw_mask_bits"].astype(jnp.int32)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+    mask = ((bits[..., None] >> shifts) & 1).astype(jnp.float32)
+    mask = mask.reshape(b, h0, -1)[:, :, :w0]
     mask_w = _warp(mask, *mats["lin"], hi)
 
     out = {k: v for k, v in batch.items() if k not in RAW_KEYS}

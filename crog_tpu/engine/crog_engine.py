@@ -79,7 +79,7 @@ _TRAIN_KEYS_C = ("img_u8", "planes_u8", "word")
 _EVAL_KEYS_C = ("img_u8", "planes_u8", "word", "inverse", "ori_size")
 # raw wire format (crog_tpu.data.rawwire): raster + blur + letterbox in-jit
 _TRAIN_KEYS_R = (
-    "raw_img_u8", "raw_mask_u8", "rect_corners", "rect_vals", "word",
+    "raw_img_u8", "raw_mask_bits", "rect_corners", "rect_vals", "word",
 )
 _EVAL_KEYS_R = _TRAIN_KEYS_R + ("inverse", "ori_size")
 

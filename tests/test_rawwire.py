@@ -17,6 +17,7 @@ from crog_tpu.data.grasp_transforms import GraspTransforms
 from crog_tpu.data.rawwire import (
     _letterbox_axis_matrices,
     _rasterize,
+    pack_mask_bits,
     pack_raster_params,
     unpack_raw,
 )
@@ -104,6 +105,20 @@ def test_pack_respects_max_rects_keeps_last():
     np.testing.assert_array_equal(corners[3], c5[0])
 
 
+def test_mask_bits_roundtrip():
+    """pack_mask_bits (host, np.packbits) and the device unpack in
+    unpack_raw invert each other for every width remainder mod 8."""
+    rng = np.random.RandomState(3)
+    for w in (160, 157, 153):  # w % 8 == 0, 5, 1
+        m = (rng.rand(9, w) > 0.5).astype(np.uint8) * 255
+        bits = pack_mask_bits(m)
+        assert bits.shape == (9, (w + 7) // 8) and bits.dtype == np.uint8
+        b = jnp.asarray(bits).astype(jnp.int32)
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+        un = ((b[..., None] >> shifts) & 1).reshape(9, -1)[:, :w]
+        np.testing.assert_array_equal(np.asarray(un), m // 255)
+
+
 def test_unpack_raw_matches_legacy_pipeline():
     """Same synthetic samples through the legacy host pipeline and the raw
     device pipeline: all model-facing planes agree within the documented
@@ -117,7 +132,7 @@ def test_unpack_raw_matches_legacy_pipeline():
         batch = {
             k: jnp.asarray(np.asarray(raw[k])[None])
             for k in (
-                "raw_img_u8", "raw_mask_u8", "rect_corners", "rect_vals",
+                "raw_img_u8", "raw_mask_bits", "rect_corners", "rect_vals",
                 "word", "inverse", "ori_size",
             )
         }
