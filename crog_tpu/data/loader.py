@@ -104,6 +104,13 @@ def pad_batch(batch: Dict, batch_size: int, n_valid: int) -> Dict:
     return out
 
 
+class _ProducerError:
+    """Wrapper carrying a producer-thread exception through the queue."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 _PROC_DS = None
 
 
@@ -189,8 +196,14 @@ class DataLoader:
         return self._workers
 
     def _produce(self, q: queue.Queue, stop: threading.Event):
-        pool = self._pool()
+        # Worker/collate exceptions are ENQUEUED and re-raised in the
+        # consumer: a bare try/finally would kill this thread silently and
+        # the end-of-epoch None would make a mid-epoch decode error look
+        # like a successful short epoch (torch DataLoader propagates worker
+        # exceptions; so must we).
+        sentinel = None
         try:
+            pool = self._pool()
             for batch_idx in self.sampler.batches():
                 if stop.is_set():
                     break
@@ -207,10 +220,12 @@ class DataLoader:
                         break
                     except queue.Full:
                         continue
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            sentinel = _ProducerError(exc)
         finally:
             while not stop.is_set():
                 try:
-                    q.put(None, timeout=0.5)
+                    q.put(sentinel, timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -225,6 +240,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             # consumer abandoned the iterator (e.g. a probe next(iter(...)))

@@ -70,11 +70,30 @@ def is_raw(batch: Dict) -> bool:
 def pack_mask_bits(mask_u8: np.ndarray) -> np.ndarray:
     """[H, W] 0/255 uint8 instance mask -> [H, ceil(W/8)] uint8 bit plane.
 
-    MSB-first (np.packbits default); ``unpack_raw`` reverses it on device.
-    The 0/255 contract is the module docstring's: binary masks only (the
-    legacy path's mask/255 on 0/255 inputs is exactly the 0/1 this carries).
+    MSB-first (np.packbits default); ``unpack_mask_bits`` reverses it on
+    device.  BINARY masks only: the legacy path carries mask/255 for any
+    uint8 value, so a non-binary mask (e.g. value 1..254) has no 1-bit
+    representation — fail loudly instead of silently thresholding it.
     """
-    return np.packbits(np.asarray(mask_u8) > 127, axis=-1)
+    m = np.asarray(mask_u8)
+    if m.dtype != np.bool_:
+        bad = m[(m != 0) & (m != 255)]
+        if bad.size:
+            raise ValueError(
+                "pack_mask_bits requires a binary 0/255 mask; got values "
+                f"{np.unique(bad)[:8]} — use the legacy/compact wire format "
+                "for non-binary masks"
+            )
+    return np.packbits(m > 0, axis=-1)
+
+
+def unpack_mask_bits(bits, w0: int):
+    """Jittable inverse of pack_mask_bits: [..., H, ceil(W/8)] uint8 ->
+    [..., H, w0] float32 0/1 (MSB-first)."""
+    bits = bits.astype(jnp.int32)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+    mask = ((bits[..., None] >> shifts) & 1).astype(jnp.float32)
+    return mask.reshape(*mask.shape[:-3], mask.shape[-3], -1)[..., :w0]
 
 
 # ------------------------------------------------------------------- host side
@@ -224,10 +243,7 @@ def unpack_raw(batch: Dict, input_size: int) -> Dict:
     img_w = _warp(img, *mats["cub"], hi)
 
     # mask arrives bit-packed (pack_mask_bits, MSB-first): unpack to 0/1 f32
-    bits = batch["raw_mask_bits"].astype(jnp.int32)
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
-    mask = ((bits[..., None] >> shifts) & 1).astype(jnp.float32)
-    mask = mask.reshape(b, h0, -1)[:, :, :w0]
+    mask = unpack_mask_bits(batch["raw_mask_bits"], w0)
     mask_w = _warp(mask, *mats["lin"], hi)
 
     out = {k: v for k, v in batch.items() if k not in RAW_KEYS}

@@ -449,6 +449,7 @@ def train_one_epoch(
         prefix=f"Training: Epoch=[{epoch}/{args.epochs}] ",
     )
     end = time.perf_counter()
+    win_start = end  # per-print-window clock: batch_time = window / print_freq
     metrics = None
     for i, batch in enumerate(loader):
         meters["data_time"].update(time.perf_counter() - end)
@@ -464,9 +465,9 @@ def train_one_epoch(
             meters["loss"].update(float(m["loss"]), bsz)
             meters["iou"].update(float(m["iou"]), bsz)
             meters["prec@50"].update(float(m["prec@50"]), bsz)
-            meters["batch_time"].update(
-                (time.perf_counter() - end) / args.print_freq
-            )
+            now = time.perf_counter()
+            meters["batch_time"].update((now - win_start) / args.print_freq)
+            win_start = now
             logger.info(progress.display(i + 1))
         end = time.perf_counter()
     return state, metrics

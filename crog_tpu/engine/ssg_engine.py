@@ -108,9 +108,19 @@ def train_one_epoch(loader, state, train_step, epoch, args, rng):
     return state, metrics
 
 
-def visualization(loader, post_fn, model, variables, epoch, args, vis_dir="vis"):
+def make_ssg_eval_fwd(model):
+    """One jitted eval forward, built ONCE and reused by every validate /
+    visualization call — building the jit inside those functions gave every
+    validation epoch a fresh cache entry and a full re-trace."""
+    return jax.jit(lambda v, img: model.apply(v, img, train=False))
+
+
+def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
     """Render one random val sample per epoch (reference
-    engine/ssg_engine.py:184-263): RGB with predicted grasps + grasp maps."""
+    engine/ssg_engine.py:184-263): RGB with predicted grasps + grasp maps.
+
+    ``fwd`` is the jitted eval forward from make_ssg_eval_fwd (hoisted to
+    the caller so repeated epochs hit one jit cache entry)."""
     import random as _random
 
     import numpy as _np
@@ -118,7 +128,6 @@ def visualization(loader, post_fn, model, variables, epoch, args, vis_dir="vis")
     from crog_tpu.utils.visualization import visualize_grasp_prediction
 
     idx = _random.randint(0, max(len(loader) - 1, 0))
-    fwd = jax.jit(lambda v, img: model.apply(v, img, train=False))
     for i, batch in enumerate(loader):
         if i < idx:
             continue
@@ -152,13 +161,12 @@ def visualization(loader, post_fn, model, variables, epoch, args, vis_dir="vis")
     return None
 
 
-def validate(loader, post_fn, model, variables, epoch, args, max_batches=101):
+def validate(loader, post_fn, fwd, variables, epoch, args, max_batches=101):
     """Per-object J@1/J@5 over ~100 batch-1 samples (reference
-    engine/ssg_engine.py:119-180)."""
+    engine/ssg_engine.py:119-180).  ``fwd`` from make_ssg_eval_fwd."""
     logger = get_logger()
     hits = [0, 0]
     totals = [0, 0]
-    fwd = jax.jit(lambda v, img: model.apply(v, img, train=False))
     for i, batch in enumerate(loader):
         output = fwd(variables, jnp.asarray(batch["img"][:1]))
         post = post_fn(output)

@@ -54,6 +54,38 @@ def get_parser():
     return cfg
 
 
+def evaluate_refer_types(
+    base_ds, refer_types, eval_step, variables, batch_size: int = 16,
+    num_workers: int = 4, with_grasps: bool = True,
+):
+    """Per-type eval loop, separated from config/checkpoint plumbing so the
+    fixture-driven test can exercise the real sweep path."""
+    logger = get_logger()
+    results = {}
+    for rtype, indices in refer_types.items():
+        subset = Subset(base_ds, [i for i in indices if i < len(base_ds)])
+        if len(subset) == 0:
+            logger.warning(f"refer type {rtype}: no samples in split, skipped")
+            continue
+        loader = DataLoader(
+            subset,
+            batch_size=batch_size,
+            num_workers=num_workers,
+            drop_last=False,
+            # pad tails: each of the 5 types has its own subset size, so
+            # without padding every non-multiple-of-batch tail would compile
+            # a fresh eval step at its own shape (one compile per sweep
+            # instead, like test_crog.py)
+            pad_last_batch=True,
+            device_put_fn=lambda b: device_put_crog(b),
+        )
+        logger.info(f"=== refer type: {rtype} ({len(subset)} samples) ===")
+        results[rtype] = validate_with_grasp(
+            loader, eval_step, variables, with_grasps=with_grasps
+        )
+    return results
+
+
 def main():
     args = get_parser()
     setup_logger(
@@ -78,23 +110,12 @@ def main():
     }
     variables = load_eval_variables(args, model, example)
 
-    results = {}
-    for rtype, indices in refer_types.items():
-        subset = Subset(base_ds, [i for i in indices if i < len(base_ds)])
-        if len(subset) == 0:
-            logger.warning(f"refer type {rtype}: no samples in split, skipped")
-            continue
-        loader = DataLoader(
-            subset,
-            batch_size=int(args.get("batch_size_test", 16)),
-            num_workers=args.get("workers_val", 4),
-            drop_last=False,
-            device_put_fn=lambda b: device_put_crog(b),
-        )
-        logger.info(f"=== refer type: {rtype} ({len(subset)} samples) ===")
-        results[rtype] = validate_with_grasp(
-            loader, eval_step, variables, with_grasps=args.use_grasp_masks
-        )
+    results = evaluate_refer_types(
+        base_ds, refer_types, eval_step, variables,
+        batch_size=int(args.get("batch_size_test", 16)),
+        num_workers=args.get("workers_val", 4),
+        with_grasps=args.use_grasp_masks,
+    )
     for rtype, r in results.items():
         logger.info(
             f"{rtype}: IoU={100 * r['iou']:.2f} "

@@ -155,6 +155,55 @@ def test_ocid_vlg_train_and_eval_step(ocid_root):
     assert 0.0 <= result["j_index@5"] <= 1.0
 
 
+def test_refer_type_sweep_one_compile(ocid_root):
+    """The per-refer-type sweep (test_diff_refer_types.evaluate_refer_types)
+    pads tail batches: every eval-step invocation sees ONE batch shape, and
+    subsets whose size is not a multiple of the batch are still fully scored."""
+    from crog_tpu.data.ocid_vlg import OCIDVLGDataset
+    from crog_tpu.engine.crog_engine import (
+        create_train_state, make_eval_step,
+    )
+    from crog_tpu.engine.optim import make_optimizer
+    from crog_tpu.models.crog import CROG
+    from test_diff_refer_types import evaluate_refer_types
+
+    model = CROG(
+        input_resolution=128, vision_layers=(1, 1, 1, 1),
+        transformer_layers=2, num_layers=1, dtype=jnp.float32,
+    )
+    ds = OCIDVLGDataset(ocid_root, "test", input_size=128, word_length=17)
+    img0 = jnp.zeros((1, 128, 128, 3))
+    word0 = jnp.zeros((1, 17), jnp.int32)
+    tx = make_optimizer(
+        jax.eval_shape(lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, img0, word0, train=False,
+        ))["params"],
+        base_lr=1e-4, lr_multi=0.1, milestones=[35], lr_decay=0.1,
+        steps_per_epoch=10,
+    )
+    state = create_train_state(model, tx, img0, word0, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    inner = make_eval_step(model, input_size=128, ori_hw=(H, W))
+    seen_shapes = []
+
+    def spying_step(v, batch):
+        seen_shapes.append(batch["img"].shape if "img" in batch
+                           else batch["word"].shape)
+        return inner(v, batch)
+
+    # 8 fixture samples; sizes 5 and 3 both force a padded tail at batch 4
+    refer_types = {"name": list(range(5)), "loc": [5, 6, 7]}
+    results = evaluate_refer_types(
+        ds, refer_types, spying_step, variables, batch_size=4, num_workers=2,
+    )
+    assert set(results) == {"name", "loc"}
+    # one shape for every invocation -> one compile for the whole sweep
+    assert len(set(seen_shapes)) == 1 and seen_shapes[0][0] == 4
+    for r in results.values():
+        assert 0.0 <= r["iou"] <= 1.0
+
+
 # ---------------------------------------------------------------- OCID-Grasp
 def test_ocid_grasp_reader(ocid_root):
     from crog_tpu.data.ocid_grasp import OCIDGraspDataset

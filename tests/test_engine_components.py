@@ -168,6 +168,33 @@ def test_loader_process_pool_forkserver(tmp_path):
     loader._workers.shutdown()
 
 
+def test_loader_propagates_worker_exception():
+    """A dataset error mid-epoch must crash the consumer with the original
+    exception, not silently truncate the epoch (a producer thread dying used
+    to enqueue the end-of-epoch sentinel, making every epoch look like a
+    short success — reference torch DataLoader propagates)."""
+    import pytest
+
+    from crog_tpu.data.loader import DataLoader
+
+    class Poisoned:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            if i == 9:
+                raise RuntimeError("corrupt sample 9")
+            return {"img": np.zeros((4, 4, 3), np.float32),
+                    "word": np.zeros(17, np.int32)}
+
+    loader = DataLoader(Poisoned(), batch_size=4, shuffle=False, num_workers=2)
+    got = []
+    with pytest.raises(RuntimeError, match="corrupt sample 9"):
+        for batch in loader:
+            got.append(batch)
+    assert len(got) < 4  # the epoch did NOT look complete
+
+
 def test_grasp_transforms_roundtrip():
     gt = GraspTransforms()
     rects = np.array([[320.0, 240.0, 60.0, 20.0, 30.0, 1.0],

@@ -19,6 +19,7 @@ from crog_tpu.data.rawwire import (
     _rasterize,
     pack_mask_bits,
     pack_raster_params,
+    unpack_mask_bits,
     unpack_raw,
 )
 from crog_tpu.data.synthetic import SyntheticOCIDVLG
@@ -106,17 +107,28 @@ def test_pack_respects_max_rects_keeps_last():
 
 
 def test_mask_bits_roundtrip():
-    """pack_mask_bits (host, np.packbits) and the device unpack in
-    unpack_raw invert each other for every width remainder mod 8."""
+    """pack_mask_bits (host, np.packbits) and the REAL device unpack
+    (unpack_mask_bits, the helper unpack_raw calls) invert each other for
+    every width remainder mod 8, unbatched and batched."""
     rng = np.random.RandomState(3)
     for w in (160, 157, 153):  # w % 8 == 0, 5, 1
         m = (rng.rand(9, w) > 0.5).astype(np.uint8) * 255
         bits = pack_mask_bits(m)
         assert bits.shape == (9, (w + 7) // 8) and bits.dtype == np.uint8
-        b = jnp.asarray(bits).astype(jnp.int32)
-        shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
-        un = ((b[..., None] >> shifts) & 1).reshape(9, -1)[:, :w]
+        un = unpack_mask_bits(jnp.asarray(bits), w)
         np.testing.assert_array_equal(np.asarray(un), m // 255)
+        # batched layout, as unpack_raw sees it
+        un_b = unpack_mask_bits(jnp.asarray(bits)[None], w)
+        np.testing.assert_array_equal(np.asarray(un_b[0]), m // 255)
+
+
+def test_pack_mask_bits_rejects_non_binary():
+    """A non-binary mask has no 1-bit representation: fail loudly instead of
+    silently zeroing values 1..127 (the legacy path carries v/255)."""
+    m = np.zeros((4, 16), np.uint8)
+    m[1, 3] = 7
+    with pytest.raises(ValueError, match="binary"):
+        pack_mask_bits(m)
 
 
 def test_unpack_raw_matches_legacy_pipeline():

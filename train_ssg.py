@@ -25,6 +25,7 @@ from crog_tpu.engine import checkpoint as ckpt
 from crog_tpu.engine.optim import make_optimizer
 from crog_tpu.engine.ssg_engine import (
     create_ssg_train_state,
+    make_ssg_eval_fwd,
     make_ssg_train_step,
     train_one_epoch,
     validate,
@@ -161,6 +162,7 @@ def main():
         ori_hw=(480, 640) if args.dataset != "synthetic"
         else (args.img_size, args.img_size),
     )
+    eval_fwd = make_ssg_eval_fwd(model)
     out_dir = os.path.join(args.output_folder, args.exp_name)
     from crog_tpu.utils.tracking import MetricsTracker
 
@@ -186,7 +188,7 @@ def main():
                 "params": state.params, "batch_stats": state.batch_stats
             }
             j1, j5 = validate(
-                val_loader, post_fn, model, variables, epoch + 1, args
+                val_loader, post_fn, eval_fwd, variables, epoch + 1, args
             )
             tracker.log(
                 {"val/j_index@1": j1, "val/j_index@5": j5}, step=epoch + 1
@@ -195,7 +197,7 @@ def main():
                 from crog_tpu.engine.ssg_engine import visualization
 
                 visualization(
-                    val_loader, post_fn, model, variables, epoch + 1, args,
+                    val_loader, post_fn, eval_fwd, variables, epoch + 1, args,
                     vis_dir=os.path.join(out_dir, "vis"),
                 )
             ckpt.save_checkpoint(out_dir, state, epoch + 1, best_jindex=best_j1)
