@@ -25,7 +25,7 @@ def collate_crog(samples: List[Dict]) -> Dict:
     stack_keys = (
         "img", "mask", "qua", "sin", "cos", "wid", "ang", "word", "inverse",
         "ori_size", "img_u8", "planes_u8",
-        "raw_img_u8", "raw_mask_bits", "rect_corners", "rect_vals",
+        "raw_img_u8", "lb_img_u8", "raw_mask_bits", "rect_corners", "rect_vals",
     )
     for k in stack_keys:
         if k in samples[0]:
@@ -195,6 +195,16 @@ class DataLoader:
                 self._getter = self.dataset.__getitem__
         return self._workers
 
+    @staticmethod
+    def _bounded_put(q: queue.Queue, item, stop: threading.Event):
+        """Bounded put that can be interrupted by a consumer going away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
     def _produce(self, q: queue.Queue, stop: threading.Event):
         # Worker/collate exceptions are ENQUEUED and re-raised in the
         # consumer: a bare try/finally would kill this thread silently and
@@ -211,30 +221,52 @@ class DataLoader:
                 batch = self.collate_fn(samples)
                 if self.pad_last_batch and len(batch_idx) < self.batch_size:
                     batch = pad_batch(batch, self.batch_size, len(batch_idx))
-                if self.device_put_fn is not None:
-                    batch = self.device_put_fn(batch)
-                # bounded put that can be interrupted by a consumer going away
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                self._bounded_put(q, batch, stop)
         except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
             sentinel = _ProducerError(exc)
         finally:
+            self._bounded_put(q, sentinel, stop)
+
+    def _put_stage(self, qin: queue.Queue, qout: queue.Queue,
+                   stop: threading.Event):
+        """Dedicated host->device transfer stage.
+
+        Collate (stage 1, CPU memcpy-bound) and device_put (this stage,
+        wire-bound on a tunneled device) PIPELINE across batches instead of
+        serializing in one thread: with a ~0.5 s/batch wire and a
+        ~0.2 s/batch collate, one producer thread caps e2e at
+        1/(0.5+0.2) batches/s while the split runs at the wire rate.
+        """
+        sentinel = None
+        try:
             while not stop.is_set():
                 try:
-                    q.put(sentinel, timeout=0.5)
-                    break
-                except queue.Full:
+                    item = qin.get(timeout=0.5)
+                except queue.Empty:
                     continue
+                if item is None:
+                    break
+                if isinstance(item, _ProducerError):
+                    sentinel = item
+                    break
+                self._bounded_put(qout, self.device_put_fn(item), stop)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            sentinel = _ProducerError(exc)
+        finally:
+            self._bounded_put(qout, sentinel, stop)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
         t.start()
+        if self.device_put_fn is not None:
+            q2: queue.Queue = queue.Queue(maxsize=self.prefetch)
+            tp = threading.Thread(
+                target=self._put_stage, args=(q, q2, stop), daemon=True
+            )
+            tp.start()
+            q = q2
         try:
             while True:
                 item = q.get()

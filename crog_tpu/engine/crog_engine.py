@@ -78,21 +78,23 @@ _EVAL_KEYS = ("img", "word", "mask", "inverse", "ori_size")
 _TRAIN_KEYS_C = ("img_u8", "planes_u8", "word")
 _EVAL_KEYS_C = ("img_u8", "planes_u8", "word", "inverse", "ori_size")
 # raw wire format (crog_tpu.data.rawwire): raster + blur + letterbox in-jit
+# (raw_img_u8 = unwarped camera frame, lb_img_u8 = host-letterboxed variant)
 _TRAIN_KEYS_R = (
-    "raw_img_u8", "raw_mask_bits", "rect_corners", "rect_vals", "word",
+    "raw_img_u8", "lb_img_u8", "raw_mask_bits", "rect_corners", "rect_vals",
+    "word",
 )
 _EVAL_KEYS_R = _TRAIN_KEYS_R + ("inverse", "ori_size")
 
 
 def _select_keys(batch, legacy, compact, raw):
-    if "raw_img_u8" in batch:
+    if "raw_img_u8" in batch or "lb_img_u8" in batch:
         return raw
     return compact if "img_u8" in batch else legacy
 
 
 def _unpack(batch, input_size: int):
     """In-jit wire-format dispatch (identity on legacy float batches)."""
-    if "raw_img_u8" in batch:
+    if "raw_img_u8" in batch or "lb_img_u8" in batch:
         from crog_tpu.data.rawwire import unpack_raw
 
         return unpack_raw(batch, input_size)

@@ -195,6 +195,56 @@ def test_loader_propagates_worker_exception():
     assert len(got) < 4  # the epoch did NOT look complete
 
 
+def test_two_stage_put_pipeline_order_and_exceptions():
+    """With device_put_fn set, collate and transfer run as separate pipeline
+    stages; batches must arrive in order, each exactly once, and exceptions
+    from EITHER stage must reach the consumer."""
+    import pytest
+
+    from crog_tpu.data.loader import DataLoader
+
+    class Seq:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return {"img": np.full((2, 2), i, np.float32)}
+
+    put_calls = []
+
+    def put(batch):
+        put_calls.append(int(batch["img"][0, 0, 0]))
+        return {**batch, "put": True}
+
+    loader = DataLoader(Seq(), batch_size=4, shuffle=False, num_workers=2,
+                        device_put_fn=put)
+    got = list(iter(loader))
+    assert [int(b["img"][0, 0, 0]) for b in got] == [0, 4, 8]
+    assert all(b["put"] for b in got)
+    assert put_calls == [0, 4, 8]
+
+    # an exception raised inside the put stage propagates too
+    def bad_put(batch):
+        raise OSError("wire down")
+
+    loader = DataLoader(Seq(), batch_size=4, shuffle=False, num_workers=2,
+                        device_put_fn=bad_put)
+    with pytest.raises(OSError, match="wire down"):
+        list(iter(loader))
+
+    # a worker exception still propagates THROUGH the put stage
+    class Poisoned2(Seq):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt 5")
+            return super().__getitem__(i)
+
+    loader = DataLoader(Poisoned2(), batch_size=4, shuffle=False,
+                        num_workers=2, device_put_fn=put)
+    with pytest.raises(RuntimeError, match="corrupt 5"):
+        list(iter(loader))
+
+
 def test_grasp_transforms_roundtrip():
     gt = GraspTransforms()
     rects = np.array([[320.0, 240.0, 60.0, 20.0, 30.0, 1.0],

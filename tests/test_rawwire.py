@@ -170,6 +170,48 @@ def test_unpack_raw_matches_legacy_pipeline():
             assert np.abs(d - legacy[k]).mean() < atol / 10, k
 
 
+def test_unpack_rawlb_image_bit_exact_legacy():
+    """raw='lb' letterboxes the uint8 image on HOST with the cv2-parity
+    kernel and LUT-normalizes on device — the image plane must be BIT-EXACT
+    to the legacy pipeline (same warp, same table arithmetic); the
+    rasterized targets keep raw's documented epsilon."""
+    ds_l = SyntheticOCIDVLG(num_samples=2, input_size=S, ori_hw=ORI)
+    ds_lb = SyntheticOCIDVLG(num_samples=2, input_size=S, ori_hw=ORI, raw="lb")
+    for i in range(2):
+        legacy = ds_l[i]
+        lb = ds_lb[i]
+        assert lb["lb_img_u8"].shape == (S, S, 3)
+        assert "raw_img_u8" not in lb
+        batch = {
+            k: jnp.asarray(np.asarray(lb[k])[None])
+            for k in (
+                "lb_img_u8", "raw_mask_bits", "rect_corners", "rect_vals",
+                "word", "inverse", "ori_size",
+            )
+        }
+        out = jax.jit(lambda b: unpack_raw(b, S))(batch)
+        np.testing.assert_array_equal(
+            np.asarray(out["img"][0]), legacy["img"]
+        )
+        for k, atol in (
+            ("mask", 0.06), ("qua", 0.03), ("wid", 0.03),
+            ("sin", 0.2), ("cos", 0.2),
+        ):
+            d = np.asarray(out[k][0])
+            assert d.shape == (S, S), k
+            assert np.abs(d - legacy[k]).max() < atol, k
+
+
+def test_rawlb_smaller_on_the_wire_than_raw():
+    ds_r = SyntheticOCIDVLG(num_samples=1, input_size=S, ori_hw=ORI, raw=True)
+    ds_lb = SyntheticOCIDVLG(num_samples=1, input_size=S, ori_hw=ORI, raw="lb")
+    nb = lambda s: sum(
+        np.asarray(v).nbytes for v in s.values()
+        if isinstance(v, np.ndarray)
+    )
+    assert nb(ds_lb[0]) < nb(ds_r[0])
+
+
 def test_blur_fold_is_exact():
     """Blur folded into the warp matrix == blur then warp (linear maps)."""
     from crog_tpu.ops.filters import gaussian_blur_np

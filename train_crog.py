@@ -59,9 +59,12 @@ def get_parser():
 
 def build_dataset(args, split: str):
     # wire_format: what the host ships to the device per sample.
+    #   rawlb   — raw with the IMAGE letterboxed on host as uint8 (bit-exact
+    #             legacy numerics); fewest wire bytes (~0.56 MB/sample),
+    #             default: on a tunneled device the wire bounds e2e.
     #   raw     — unwarped uint8 planes + grasp-rect params; rasterization,
     #             gaussian blur and the letterbox warp run INSIDE the jitted
-    #             step (crog_tpu.data.rawwire).  Least host work, default.
+    #             step (crog_tpu.data.rawwire).  Least host work.
     #   compact — host warps, ships uint8 canvases; /255 + CLIP normalize +
     #             sin/cos on device (crog_tpu.data.compact).  Bit-exact to
     #             legacy.
@@ -72,7 +75,12 @@ def build_dataset(args, split: str):
         "wire_format",
         "compact" if args.get("compact_transfer", True) else "legacy",
     )
-    kw = dict(compact=wire == "compact", raw=wire == "raw")
+    # rawlb: host letterboxes the uint8 image (bit-exact legacy numerics),
+    # targets still rasterized on device from rect params — fewest wire bytes
+    kw = dict(
+        compact=wire == "compact",
+        raw={"raw": True, "rawlb": "lb"}.get(wire, False),
+    )
     if args.dataset == "synthetic":
         from crog_tpu.data.synthetic import SyntheticOCIDVLG
 
