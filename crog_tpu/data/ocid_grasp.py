@@ -8,8 +8,8 @@ of the semantic mask into per-instance masks/boxes/labels, per-class grasp
 rect files, instance<->grasp matching (grasp center inside the instance
 mask), per-instance grasp-map rasterization; then photometric distort +
 random mirror (train), pad-to-square, resize to img_size, normalized boxes,
-BGR float [0,1] image layout -> we keep RGB HWC (TPU NHWC convs; the 3-channel
-permutation the reference did for torch is layout-only).
+/255 + BGR->RGB (reference _normalize_img, utils/augmentation.py:149-154;
+only torch's CHW layout permute is dropped — TPU convs are NHWC).
 
 Instance-region decomposition uses scipy.ndimage.label-free connected
 regions: OCID instance ids are already unique per instance, so regionprops
@@ -121,32 +121,61 @@ def _hsv_bgr(img: np.ndarray) -> np.ndarray:
 
 
 class DataAugmentor:
-    """reference utils/augmentation.py:7-165."""
+    """reference utils/augmentation.py:7-165.
+
+    Split into ``draw()`` (consumes the python ``random`` stream in the
+    EXACT reference call order — coins, conditional uniforms, mirror, pad)
+    and ``apply(d, p)`` (deterministic given the params), so the raw SSG
+    wire format can draw on host and replay the identical augmentation ON
+    DEVICE (crog_tpu.data.ssg_rawwire).  ``__call__`` = apply(d, draw())
+    keeps legacy behavior bit-for-bit.
+    """
 
     def __init__(self, img_size: int, mode: str = "train"):
         self.img_size = img_size
         self.mode = mode
         self.mean = CLIP_MEAN
 
-    def _photometric_distort(self, d: Dict):
+    def draw(self, h: int, w: int) -> Dict:
+        """Draw all augmentation parameters, replicating the reference's
+        random-call order (photometric coins/uniforms -> mirror coin -> pad
+        offset) so seeded runs match the legacy path draw-for-draw."""
+        p = {
+            "b_delta": 0.0, "c_factor": 1.0, "h1": 0.0, "h2": 0.0,
+            "mirror": 0, "pad_y0": 0, "pad_x0": 0,
+        }
+        if self.mode == "train":
+            if random.randint(0, 1):
+                p["b_delta"] = random.uniform(-32, 32)
+            if random.randint(0, 1):
+                p["c_factor"] = random.uniform(0.7, 1.3)
+            p["h1"] = random.uniform(-15, 15)
+            p["h2"] = random.uniform(-15, 15)
+            p["mirror"] = random.randint(0, 1)
+            if h != w:
+                if h < w:
+                    p["pad_y0"] = random.randint(0, w - h)
+                elif h > w:
+                    p["pad_x0"] = random.randint(0, h - w)
+        return p
+
+    def _photometric_distort(self, d: Dict, p: Dict):
         img = d["rgb"].astype(np.float32)
-        if random.randint(0, 1):
-            img = np.clip(img + random.uniform(-32, 32), 0.0, 255.0)
-        if random.randint(0, 1):
-            img = np.clip(img * random.uniform(0.7, 1.3), 0.0, 255.0)
+        img = np.clip(img + p["b_delta"], 0.0, 255.0)
+        img = np.clip(img * p["c_factor"], 0.0, 255.0)
         hsv = _bgr_hsv(img)
         # DELIBERATE bug-for-bug parity, do not "fix": the reference's
         # _random_saturation mutates channel 0 (hue) instead of channel 1
         # (/root/reference/utils/augmentation.py:43-54), so its photometric
         # distort shifts hue TWICE and never touches saturation.  The trained
         # models saw exactly this distribution.
-        hsv[..., 0] = (hsv[..., 0] + random.uniform(-15, 15)) % 360.0
-        hsv[..., 0] = (hsv[..., 0] + random.uniform(-15, 15)) % 360.0
+        hsv[..., 0] = (hsv[..., 0] + p["h1"]) % 360.0
+        hsv[..., 0] = (hsv[..., 0] + p["h2"]) % 360.0
         img = np.clip(_hsv_bgr(hsv), 0.0, 255.0)
         d["rgb"] = img
 
-    def _random_mirror(self, d: Dict):
-        if random.randint(0, 1):
+    def _mirror(self, d: Dict, p: Dict):
+        if p["mirror"]:
             width = d["rgb"].shape[1]
             d["rgb"] = d["rgb"][:, ::-1]
             d["depth"] = d["depth"][:, ::-1]
@@ -157,17 +186,13 @@ class DataAugmentor:
             d["bboxes"][:, 0] = width - b[:, 2]
             d["bboxes"][:, 2] = width - b[:, 0]
 
-    def _pad_to_square(self, d: Dict):
+    def _pad_to_square(self, d: Dict, p: Dict):
         img = d["rgb"]
         h, w = img.shape[:2]
         if h == w:
             return
         size = max(h, w)
-        if self.mode == "train":
-            y0 = random.randint(0, size - h) if h < w else 0
-            x0 = random.randint(0, size - w) if w < h else 0
-        else:
-            y0 = x0 = 0
+        y0, x0 = p["pad_y0"], p["pad_x0"]
         pad_img = np.zeros((size, size, 3), np.float32)
         pad_img[:, :] = self.mean  # NOTE reference pads with 0-1 mean values
         pad_img[y0 : y0 + h, x0 : x0 + w] = img
@@ -205,17 +230,49 @@ class DataAugmentor:
             d["grasp_masks"][k] = rs(d["grasp_masks"][k])
         d["bboxes"][:, :4] *= scale
 
-    def __call__(self, d: Dict):
+    def apply(self, d: Dict, p: Dict):
+        """Deterministic augmentation given params ``p`` (from draw())."""
         if self.mode == "train":
-            self._photometric_distort(d)
-            self._random_mirror(d)
-        self._pad_to_square(d)
+            self._photometric_distort(d, p)
+            self._mirror(d, p)
+        self._pad_to_square(d, p)
         self._resize(d)
         h, w = d["rgb"].shape[:2]
         d["bboxes"][:, [0, 2]] /= w
         d["bboxes"][:, [1, 3]] /= h
-        d["rgb"] = d["rgb"].astype(np.float32) / 255.0
+        # /255 then BGR->RGB, exactly the reference's _normalize_img
+        # (utils/augmentation.py:149-154; torch's CHW permute is layout-only
+        # and dropped — TPU convs are NHWC)
+        d["rgb"] = np.ascontiguousarray(
+            d["rgb"].astype(np.float32)[:, :, ::-1] / 255.0
+        )
         return d
+
+    def __call__(self, d: Dict):
+        return self.apply(d, self.draw(*d["rgb"].shape[:2]))
+
+
+def finalize_legacy(pre: Dict, augmentor, grasp_transforms) -> Dict:
+    """Pre-augment dict -> the dense legacy training sample: per-instance
+    grasp-map rasterization (host raster + blur, reference
+    utils/dataset.py:1211-1252), DataAugmentor, then sin/cos of the
+    DEGREE-UNIT ang canvas (reference quirk, utils/dataset.py:1283-1284)."""
+    d = dict(pre)
+    stacks = [
+        grasp_transforms.generate_masks(r) for r in pre["ins_grasp_rects"]
+    ]
+    hw = pre["rgb"].shape[:2]
+    d["grasp_masks"] = {
+        "qua": np.asarray([g["qua"] / 255.0 for g in stacks]).reshape(-1, *hw),
+        "ang": np.asarray([g["ang"] for g in stacks], np.float32).reshape(
+            -1, *hw
+        ),
+        "wid": np.asarray([g["wid"] / 255.0 for g in stacks]).reshape(-1, *hw),
+    }
+    augmentor(d)
+    d["grasp_masks"]["sin"] = np.sin(2 * d["grasp_masks"]["ang"])
+    d["grasp_masks"]["cos"] = np.cos(2 * d["grasp_masks"]["ang"])
+    return d
 
 
 class OCIDGraspDataset:
@@ -227,6 +284,9 @@ class OCIDGraspDataset:
         depth_factor: float = 1000.0,
         with_depth: bool = True,
         with_grasp_masks: bool = True,
+        raw: bool = False,
+        max_objs: int = 24,
+        max_rects: int = 16,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -234,6 +294,9 @@ class OCIDGraspDataset:
         self.depth_factor = depth_factor
         self.with_depth = with_depth
         self.with_grasp_masks = with_grasp_masks
+        self.raw = raw
+        self.max_objs = max_objs
+        self.max_rects = max_rects
         self.grasp_transforms = GraspTransforms()
         self.num_classes = len(CNAMES)
         aug_mode = "train" if split == "training_0" else "test"
@@ -244,7 +307,7 @@ class OCIDGraspDataset:
     def __len__(self):
         return len(self.meta)
 
-    def __getitem__(self, index: int) -> Dict:
+    def load_pre(self, index: int) -> Dict:
         scene_id, img_f = self.meta[index]
         base = os.path.join(self.root_dir, scene_id)
         rgb = np.asarray(
@@ -282,7 +345,7 @@ class OCIDGraspDataset:
                     raw_rects += parse_grasp_file(gp, int(cls_id))
 
         keep_boxes, keep_labels, keep_masks = [], [], []
-        grasp_rects, grasp_mask_stacks = [], []
+        grasp_rects = []
         for i in range(bboxes.shape[0]):
             box, mask, label = bboxes[i], masks[i], labels[i]
             matched = [
@@ -296,29 +359,23 @@ class OCIDGraspDataset:
                 keep_labels.append(label)
                 keep_masks.append(mask)
                 grasp_rects.append(np.asarray(matched, np.float32))
-                grasp_mask_stacks.append(
-                    self.grasp_transforms.generate_masks(matched)
-                )
         d["bboxes"] = np.asarray(keep_boxes, np.float32).reshape(-1, 5)
         d["labels"] = np.asarray(keep_labels, np.int32)
         d["ins_masks"] = np.asarray(keep_masks, np.float32).reshape(
             -1, *rgb.shape[:2]
         )
         d["ins_grasp_rects"] = grasp_rects
-        d["grasp_masks"] = {
-            "qua": np.asarray([g["qua"] / 255.0 for g in grasp_mask_stacks]),
-            "ang": np.asarray([g["ang"] for g in grasp_mask_stacks]),
-            "wid": np.asarray([g["wid"] / 255.0 for g in grasp_mask_stacks]),
-        }
-        for k in ("qua", "ang", "wid"):
-            d["grasp_masks"][k] = d["grasp_masks"][k].reshape(
-                -1, *rgb.shape[:2]
-            )
-
-        self.augmentor(d)
-        d["grasp_masks"]["sin"] = np.sin(2 * d["grasp_masks"]["ang"])
-        d["grasp_masks"]["cos"] = np.cos(2 * d["grasp_masks"]["ang"])
         return d
+
+    def __getitem__(self, index: int) -> Dict:
+        pre = self.load_pre(index)
+        if self.raw:
+            from crog_tpu.data.ssg_rawwire import pack_ssg_raw
+
+            return pack_ssg_raw(
+                pre, self.augmentor, self.max_objs, self.max_rects
+            )
+        return finalize_legacy(pre, self.augmentor, self.grasp_transforms)
 
     def visualization(self, index: int, tgt_dir: str):
         """GT debug figures (reference utils/dataset.py:1289-1394): one
@@ -337,7 +394,7 @@ class OCIDGraspDataset:
         fig = plt.figure(figsize=(25, 10))
         for i, (data, title, kw) in enumerate(
             (
-                (rgb[..., ::-1], "RGB", {}),
+                (rgb, "RGB", {}),
                 (np.asarray(d["depth"]), "Depth", dict(cmap="gray")),
                 (np.asarray(d["sem_mask"]), "Segm Mask", {}),
             ),

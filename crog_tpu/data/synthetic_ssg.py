@@ -88,3 +88,98 @@ class SyntheticOCIDGrasp:
                 "cos": np.cos(2 * ang),
             },
         }
+
+
+class SyntheticOCIDGraspFrames:
+    """OCIDGrasp-layout synthetic at the CAMERA frame size (480x640 like
+    OCID), flowing through the SAME host pipeline as the real reader —
+    per-instance raster + DataAugmentor (legacy) or raw wire packing
+    (crog_tpu.data.ssg_rawwire).  The plain SyntheticOCIDGrasp above builds
+    544^2 collate-layout samples directly and bypasses the host pipeline:
+    fine for the compute bench, useless as e2e / host-cost evidence."""
+
+    def __init__(
+        self,
+        num_samples: int = 64,
+        split: str = "training_0",
+        img_size: int = 544,
+        frame_hw=(480, 640),
+        num_classes: int = 32,
+        seed: int = 0,
+        raw: bool = False,
+        max_objs: int = 24,
+        max_rects: int = 16,
+    ):
+        from crog_tpu.data.ocid_grasp import DataAugmentor
+
+        self.num_samples = num_samples
+        self.img_size = img_size
+        self.frame_hw = tuple(frame_hw)
+        self.num_classes = num_classes
+        self.seed = seed + (0 if split == "training_0" else 50_000)
+        self.raw = raw
+        self.max_objs = max_objs
+        self.max_rects = max_rects
+        self.grasp_transforms = GraspTransforms(
+            width=frame_hw[1], height=frame_hw[0]
+        )
+        self.augmentor = DataAugmentor(
+            img_size, "train" if split == "training_0" else "test"
+        )
+
+    def __len__(self):
+        return self.num_samples
+
+    def load_pre(self, n: int) -> Dict:
+        h0, w0 = self.frame_hw
+        rng = np.random.RandomState(self.seed + n)
+        # BGR float 0-255 with INTEGER values, like the real reader's
+        # uint8 PNG decode (ocid_grasp.py load_pre)
+        rgb = np.full((h0, w0, 3), float(rng.randint(90, 130)), np.float32)
+        depth = rng.uniform(0.3, 0.7, (h0, w0)).astype(np.float32)
+        num_obj = rng.randint(2, 5)
+        boxes, labels, masks, grasp_rects = [], [], [], []
+        for i in range(num_obj):
+            cls = rng.randint(1, self.num_classes)
+            cx = rng.uniform(0.2 * w0, 0.8 * w0)
+            cy = rng.uniform(0.2 * h0, 0.8 * h0)
+            w, h = rng.uniform(40, 110), rng.uniform(30, 80)
+            theta = rng.uniform(-80, 80)
+            corners = box_points(((cx, cy), (w, h), theta))
+            mask = polygon_mask(corners[:, 1], corners[:, 0], (h0, w0))
+            if not mask.any():
+                continue
+            rgb[mask] = rng.randint(0, 256, 3).astype(np.float32)
+            ys, xs = np.nonzero(mask)
+            boxes.append(
+                [float(xs.min()), float(ys.min()), float(xs.max() + 1),
+                 float(ys.max() + 1), float(cls)]
+            )
+            labels.append(cls)
+            masks.append(mask.astype(np.float32))
+            rects = [
+                [cx, cy, min(h * 0.9, 99.0), 20.0, float(rng.uniform(-85, 85)),
+                 float(cls)]
+                for _ in range(rng.randint(1, 4))
+            ]
+            grasp_rects.append(np.asarray(rects, np.float32))
+        return {
+            "rgb": rgb,
+            "depth": depth,
+            "ori_size": np.asarray([h0, w0], np.int32),
+            "bboxes": np.asarray(boxes, np.float32).reshape(-1, 5),
+            "labels": np.asarray(labels, np.int32),
+            "ins_masks": np.asarray(masks, np.float32).reshape(-1, h0, w0),
+            "ins_grasp_rects": grasp_rects,
+        }
+
+    def __getitem__(self, n: int) -> Dict:
+        from crog_tpu.data.ocid_grasp import finalize_legacy
+        from crog_tpu.data.ssg_rawwire import pack_ssg_raw
+
+        pre = self.load_pre(n)
+        if self.raw:
+            return pack_ssg_raw(
+                pre, self.augmentor, self.max_objs, self.max_rects
+            )
+        return finalize_legacy(pre, self.augmentor, self.grasp_transforms)

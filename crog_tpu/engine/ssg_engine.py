@@ -45,10 +45,18 @@ def create_ssg_train_state(model, tx, example_img, rng) -> TrainState:
     return state.replace(step=jnp.asarray(0, jnp.int32))
 
 
-def make_ssg_train_step(model, tx, anchors: np.ndarray, loss_cfg: Dict[str, Any]):
+def make_ssg_train_step(
+    model, tx, anchors: np.ndarray, loss_cfg: Dict[str, Any],
+    img_size: int = 544, with_depth: bool = True,
+):
     anchors_j = jnp.asarray(anchors)
 
     def step(state: TrainState, batch, rng):
+        if "ssg_img_u8" in batch:  # raw wire: augment + raster in-jit
+            from crog_tpu.data.ssg_rawwire import unpack_ssg_raw
+
+            batch = unpack_ssg_raw(batch, img_size, with_depth)
+
         def loss_fn(params):
             output, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -70,7 +78,14 @@ def make_ssg_train_step(model, tx, anchors: np.ndarray, loss_cfg: Dict[str, Any]
     jitted = jax.jit(step, donate_argnums=(0,))
 
     def wrapped(state, batch, rng):
-        dense = {k: batch[k] for k in _DENSE_KEYS if k in batch}
+        from crog_tpu.data.ssg_rawwire import SSG_RAW_KEYS
+
+        keys = (
+            SSG_RAW_KEYS + ("boxes", "labels", "obj_valid")
+            if "ssg_img_u8" in batch
+            else _DENSE_KEYS
+        )
+        dense = {k: batch[k] for k in keys if k in batch}
         return jitted(state, dense, rng)
 
     return wrapped
@@ -93,7 +108,8 @@ def train_one_epoch(loader, state, train_step, epoch, args, rng):
         state, metrics = train_step(state, batch, step_rng)
         if (i + 1) % args.print_freq == 0:
             m = jax.device_get(metrics)
-            meters["loss"].update(float(m["loss"]), batch["img"].shape[0])
+            bsz = batch["img" if "img" in batch else "ssg_img_u8"].shape[0]
+            meters["loss"].update(float(m["loss"]), bsz)
             meters["batch_time"].update(
                 (time.perf_counter() - end) / args.print_freq
             )
@@ -108,11 +124,36 @@ def train_one_epoch(loader, state, train_step, epoch, args, rng):
     return state, metrics
 
 
-def make_ssg_eval_fwd(model):
+def make_ssg_eval_fwd(model, img_size: int = 544, with_depth: bool = True):
     """One jitted eval forward, built ONCE and reused by every validate /
     visualization call — building the jit inside those functions gave every
-    validation epoch a fresh cache entry and a full re-trace."""
-    return jax.jit(lambda v, img: model.apply(v, img, train=False))
+    validation epoch a fresh cache entry and a full re-trace.
+
+    Takes the (dense fields of a) batch dict: raw-wire batches are unpacked
+    in-jit (image planes only — the Jacquard check consumes host GT rects,
+    so the per-instance target raster is skipped at eval).  Returns
+    (output, img) so callers render/crop from the same image the model saw."""
+
+    def fwd(v, batch):
+        if "ssg_img_u8" in batch:
+            from crog_tpu.data.ssg_rawwire import unpack_ssg_raw
+
+            batch = unpack_ssg_raw(batch, img_size, with_depth, targets=False)
+        img = batch["img"]
+        return model.apply(v, img, train=False), img
+
+    jitted = jax.jit(fwd)
+
+    def wrapped(v, batch):
+        keys = (
+            ("ssg_img_u8", "ssg_depth", "aug")
+            if "ssg_img_u8" in batch
+            else ("img",)
+        )
+        dense = {k: jnp.asarray(batch[k])[:1] for k in keys if k in batch}
+        return jitted(v, dense)
+
+    return wrapped
 
 
 def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
@@ -131,7 +172,7 @@ def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
     for i, batch in enumerate(loader):
         if i < idx:
             continue
-        output = fwd(variables, jnp.asarray(batch["img"][:1]))
+        output, img_j = fwd(variables, batch)
         post = post_fn(output)
         rects = _np.asarray(post["grasp_rects"])
         gvalid = _np.asarray(post["grasp_valid"])
@@ -144,7 +185,7 @@ def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
             if gvalid[k, j]
         ]
         qua, ang, wid = post["grasp_masks"]
-        img = _np.asarray(batch["img"][0, :, :, :3])
+        img = _np.asarray(img_j[0, :, :, :3])
         mask = _np.asarray(post["ins_masks"]).any(axis=0)
         return visualize_grasp_prediction(
             (img * 255).astype(_np.uint8),
@@ -168,7 +209,7 @@ def validate(loader, post_fn, fwd, variables, epoch, args, max_batches=101):
     hits = [0, 0]
     totals = [0, 0]
     for i, batch in enumerate(loader):
-        output = fwd(variables, jnp.asarray(batch["img"][:1]))
+        output, _ = fwd(variables, batch)
         post = post_fn(output)
         rects = np.asarray(post["grasp_rects"])  # [K, 5, 5]
         gvalid = np.asarray(post["grasp_valid"])

@@ -1,0 +1,143 @@
+"""SSG raw wire format (crog_tpu.data.ssg_rawwire): device-side augment +
+per-instance raster must match the legacy host pipeline (reference
+utils/dataset.py:1069-1416 + utils/augmentation.py:7-165) given the same
+drawn augmentation parameters."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crog_tpu.data.ocid_grasp import collate_ssg
+from crog_tpu.data.ssg_rawwire import (
+    collate_ssg_raw,
+    is_ssg_raw,
+    unpack_ssg_raw,
+)
+from crog_tpu.data.synthetic_ssg import SyntheticOCIDGrasp, SyntheticOCIDGraspFrames
+
+FRAME = (48, 64)
+S = 64
+M = 6
+
+
+def _pair(split, i, seed=7):
+    """Legacy and raw samples with the SAME drawn augmentation (the
+    draw/apply split consumes the python random stream in the reference
+    call order, so seeding before each getitem aligns them draw-for-draw)."""
+    kw = dict(num_samples=4, frame_hw=FRAME, img_size=S, split=split)
+    ds_l = SyntheticOCIDGraspFrames(**kw)
+    ds_r = SyntheticOCIDGraspFrames(**kw, raw=True, max_objs=M, max_rects=4)
+    random.seed(seed + i)
+    s_l = ds_l[i]
+    random.seed(seed + i)
+    s_r = ds_r[i]
+    return collate_ssg([s_l], max_objs=M), collate_ssg_raw([s_r])
+
+
+@pytest.mark.parametrize("split", ["training_0", "validation_0"])
+def test_unpack_ssg_raw_matches_legacy(split):
+    for i in range(2):
+        bl, br = _pair(split, i)
+        assert is_ssg_raw(br) and not is_ssg_raw(bl)
+        dense = {
+            k: jnp.asarray(v) for k, v in br.items()
+            if isinstance(v, np.ndarray)
+        }
+        out = jax.jit(lambda b: unpack_ssg_raw(b, S))(dense)
+        # host-side arithmetic must agree exactly
+        np.testing.assert_allclose(br["boxes"], bl["boxes"], atol=1e-6)
+        np.testing.assert_array_equal(br["labels"], bl["labels"])
+        np.testing.assert_array_equal(br["obj_valid"], bl["obj_valid"])
+        # bit-exact planes: distort+pad+resize image, bit-unpacked masks,
+        # sin (background 0 either way)
+        for k, atol in (
+            ("img", 2e-5), ("ins_masks", 2e-5),
+            ("grasp_sin", 1e-3), ("grasp_cos", 1e-3),
+            # qua/wid carry the documented uint8-quantization epsilon (the
+            # host quantizes after raster+blur, the device stays fp32)
+            ("grasp_qua", 2.5 / 255), ("grasp_wid", 2.5 / 255),
+        ):
+            d = np.abs(np.asarray(out[k]) - bl[k])
+            assert d.max() < atol, (k, float(d.max()))
+
+
+def test_ssg_raw_wire_is_much_smaller():
+    bl, br = _pair("training_0", 0)
+    nb = lambda b: sum(
+        v.nbytes for v in b.values() if isinstance(v, np.ndarray)
+    )
+    # at production geometry (480x640 -> 544^2, max_objs 24) the ratio is
+    # ~50x; at this test geometry still >5x
+    assert nb(br) * 5 < nb(bl)
+
+
+def test_ssg_train_step_raw_dispatch():
+    """The jitted SSG train step consumes a raw-wire batch (in-jit unpack)
+    and produces (near-)the same loss as the dense legacy batch."""
+    from crog_tpu.engine.optim import make_optimizer
+    from crog_tpu.engine.ssg_engine import (
+        create_ssg_train_state,
+        make_ssg_train_step,
+    )
+    from crog_tpu.models.ssg import SSG
+
+    IMG = 128
+    kw = dict(num_samples=2, frame_hw=(96, 128), img_size=IMG,
+              num_classes=8, split="training_0")
+    ds_l = SyntheticOCIDGraspFrames(**kw)
+    ds_r = SyntheticOCIDGraspFrames(**kw, raw=True, max_objs=M, max_rects=4)
+    # the two getitems consume the random stream in the same order, so one
+    # seed before each collate aligns the drawn augmentations pairwise
+    random.seed(3)
+    bl = collate_ssg([ds_l[0], ds_l[1]], max_objs=M)
+    random.seed(3)
+    br = collate_ssg_raw([ds_r[0], ds_r[1]])
+
+    model = SSG(
+        img_size=IMG, resnet_layers=(1, 1, 1, 1), num_classes=8,
+        dtype=jnp.float32,
+    )
+    params_shape = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, IMG, IMG, 4)), train=True,
+        )
+    )["params"]
+    tx = make_optimizer(
+        params_shape, base_lr=3e-4, lr_multi=1.0, milestones=[100],
+        lr_decay=0.95, steps_per_epoch=10, weight_decay=5e-4,
+        optimizer="adamw",
+    )
+    step = make_ssg_train_step(
+        model, tx, model.anchors(), {"masks_to_train": 16}, img_size=IMG
+    )
+
+    state = create_ssg_train_state(
+        model, tx, jnp.asarray(bl["img"]), jax.random.PRNGKey(0)
+    )
+    _, m_dense = step(state, bl, jax.random.PRNGKey(1))
+    loss_dense = float(jax.device_get(m_dense["loss"]))
+
+    state = create_ssg_train_state(
+        model, tx, jnp.asarray(bl["img"]), jax.random.PRNGKey(0)
+    )
+    _, m_raw = step(state, br, jax.random.PRNGKey(1))
+    loss_raw = float(jax.device_get(m_raw["loss"]))
+
+    assert np.isfinite(loss_raw)
+    # identical GT up to the documented qua/wid epsilon -> near-equal loss
+    assert abs(loss_raw - loss_dense) < 0.05 * max(abs(loss_dense), 1.0), (
+        loss_raw, loss_dense,
+    )
+
+
+def test_legacy_544_synthetic_unchanged():
+    """The direct 544-layout synthetic (compute bench input) still collates
+    and keeps its documented keys."""
+    ds = SyntheticOCIDGrasp(num_samples=1, img_size=96, num_classes=8)
+    b = collate_ssg([ds[0]], max_objs=4)
+    assert b["img"].shape == (1, 96, 96, 4)

@@ -51,13 +51,35 @@ def get_parser():
 
 
 def build_ssg_dataset(args, split: str):
+    # wire_format: what the host ships to the device per sample.
+    #   raw    — uint8 frame + bit-packed instance masks + grasp-rect params
+    #            + drawn augmentation params; photometric distort, mirror,
+    #            pad, resize and per-instance raster all run INSIDE the
+    #            jitted step (crog_tpu.data.ssg_rawwire).  ~3 MB/sample on
+    #            the wire vs ~150 MB dense; near-zero host work.  Default.
+    #   legacy — full dense host pipeline (reference semantics on host).
+    raw = args.get("wire_format", "legacy") == "raw"
+    kw = dict(
+        raw=raw,
+        max_objs=int(args.get("max_objs", 24)),
+        max_rects=int(args.get("max_rects", 16)),
+    )
     if args.dataset == "synthetic":
-        from crog_tpu.data.synthetic_ssg import SyntheticOCIDGrasp
+        from crog_tpu.data.synthetic_ssg import (
+            SyntheticOCIDGrasp,
+            SyntheticOCIDGraspFrames,
+        )
 
+        n = int(args.get("synthetic_samples", 128))
+        if raw:
+            # the frame-level synthetic flows through the SAME host pipeline
+            # (DataAugmentor + raw packing) as the real reader
+            return SyntheticOCIDGraspFrames(
+                num_samples=n, split=split, img_size=args.img_size,
+                num_classes=args.num_classes, **kw,
+            )
         return SyntheticOCIDGrasp(
-            num_samples=int(args.get("synthetic_samples", 128)),
-            split=split,
-            img_size=args.img_size,
+            num_samples=n, split=split, img_size=args.img_size,
             num_classes=args.num_classes,
         )
     return OCIDGraspDataset(
@@ -67,6 +89,7 @@ def build_ssg_dataset(args, split: str):
         depth_factor=args.depth_factor,
         with_depth=args.with_depth,
         with_grasp_masks=args.with_grasp_masks,
+        **kw,
     )
 
 
@@ -87,31 +110,32 @@ def main():
     val_ds = build_ssg_dataset(args, args.val_split)
 
     sharding = data_sharding(mesh)
-    collate = partial(collate_ssg, max_objs=int(args.get("max_objs", 24)))
+    raw = args.get("wire_format", "legacy") == "raw"
+    if raw:
+        from crog_tpu.data.ssg_rawwire import collate_ssg_raw as collate
+    else:
+        collate = partial(collate_ssg, max_objs=int(args.get("max_objs", 24)))
 
-    def put(batch):
-        out = dict(batch)
-        for k in (
-            "img", "boxes", "labels", "obj_valid", "ins_masks", "grasp_qua",
-            "grasp_sin", "grasp_cos", "grasp_wid",
-        ):
-            out[k] = jax.device_put(batch[k], sharding)
-        return out
+    from crog_tpu.data.loader import device_put_crog
 
     train_loader = DataLoader(
         train_ds, batch_size=args.batch_size, shuffle=True, drop_last=True,
         seed=args.manual_seed, num_workers=args.get("workers", 4),
-        collate_fn=collate, device_put_fn=put,
+        collate_fn=collate,
+        device_put_fn=lambda batch: device_put_crog(batch, sharding),
     )
     val_loader = DataLoader(
         val_ds, batch_size=1, shuffle=False,
         num_workers=args.get("workers_val", 2), collate_fn=collate,
     )
 
-    example = next(iter(train_loader))
+    example_img = jnp.zeros(
+        (args.batch_size, args.img_size, args.img_size,
+         4 if args.with_depth else 3), jnp.float32,
+    )
     params_shape = jax.eval_shape(
         lambda: model.init(
-            {"params": jax.random.PRNGKey(0)}, example["img"], train=True
+            {"params": jax.random.PRNGKey(0)}, example_img, train=True
         )
     )
     tx = make_optimizer(
@@ -125,7 +149,7 @@ def main():
         max_norm=args.max_norm,
         optimizer="adamw",
     )
-    state = create_ssg_train_state(model, tx, example["img"], rng)
+    state = create_ssg_train_state(model, tx, example_img, rng)
     state = state.replace(
         params=replicate(state.params, mesh),
         batch_stats=replicate(state.batch_stats, mesh),
@@ -151,7 +175,10 @@ def main():
         alpha_grasp=args.alpha_grasp,
         with_grasp_masks=args.with_grasp_masks,
     )
-    train_step = make_ssg_train_step(model, tx, anchors, loss_cfg)
+    train_step = make_ssg_train_step(
+        model, tx, anchors, loss_cfg,
+        img_size=args.img_size, with_depth=args.with_depth,
+    )
     post_fn = make_ssg_post_processing(
         anchors,
         num_protos=args.num_protos,
@@ -162,7 +189,7 @@ def main():
         ori_hw=(480, 640) if args.dataset != "synthetic"
         else (args.img_size, args.img_size),
     )
-    eval_fwd = make_ssg_eval_fwd(model)
+    eval_fwd = make_ssg_eval_fwd(model, args.img_size, args.with_depth)
     out_dir = os.path.join(args.output_folder, args.exp_name)
     from crog_tpu.utils.tracking import MetricsTracker
 
