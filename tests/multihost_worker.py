@@ -1,0 +1,143 @@
+"""Worker for the 2-process multi-host test (tests/test_multihost.py).
+
+Runs as `python multihost_worker.py <process_id> <num_processes> <port>`:
+initializes jax.distributed over localhost, builds a global 8-device mesh
+(2 processes x 4 virtual CPU devices), and drives the three multi-host code
+paths that are unreachable in single-process tests (VERDICT r03 missing #2):
+
+  * per-host loader striding (DataLoader num_hosts/host_id — the
+    DistributedSampler equivalent, reference train_crog.py:182-184)
+  * device_put_crog's make_array_from_process_local_data branch
+    (crog_tpu/data/loader.py; reference per-rank H2D, crog_engine.py:60-66)
+  * gather_metrics' process_allgather (crog_tpu/parallel/mesh.py; reference
+    concat_all_gather, utils/misc.py:46-59)
+
+Prints one JSON line with the evidence the parent asserts on.
+"""
+
+import json
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+# run-by-path puts tests/ on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc,
+    process_id=pid,
+)
+
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+from crog_tpu.data.loader import DataLoader, device_put_crog  # noqa: E402
+from crog_tpu.data.synthetic import SyntheticOCIDVLG  # noqa: E402
+from crog_tpu.engine.crog_engine import (  # noqa: E402
+    create_train_state,
+    make_train_step,
+)
+from crog_tpu.engine.optim import make_optimizer  # noqa: E402
+from crog_tpu.models.crog import CROG  # noqa: E402
+from crog_tpu.parallel.mesh import (  # noqa: E402
+    data_sharding,
+    gather_metrics,
+    get_mesh,
+)
+
+assert jax.process_count() == nproc
+assert len(jax.local_devices()) == 4
+assert jax.device_count() == 4 * nproc
+
+mesh = get_mesh()
+sharding = data_sharding(mesh)
+
+model = CROG(
+    input_resolution=64, vision_layers=(1, 1, 1, 1), transformer_layers=1,
+    num_layers=1, dtype=jnp.float32,
+)
+
+# per-host data arithmetic exactly as train_crog.py: global batch split
+# across hosts, each host loading only its stripe
+GLOBAL_BATCH = 8
+per_host_batch = max(1, GLOBAL_BATCH // jax.process_count())
+ds = SyntheticOCIDVLG(
+    num_samples=GLOBAL_BATCH * 2, split="train", input_size=64,
+    ori_hw=(96, 128),
+)
+loader = DataLoader(
+    ds, batch_size=per_host_batch, shuffle=True, drop_last=True,
+    num_workers=2, num_hosts=jax.process_count(),
+    host_id=jax.process_index(),
+    device_put_fn=lambda b: device_put_crog(b, sharding),
+)
+loader.set_epoch(0)
+batch = next(iter(loader))
+# the global array was assembled from process-local stripes
+assert batch["img"].shape[0] == GLOBAL_BATCH, batch["img"].shape
+assert not batch["img"].is_fully_addressable
+
+params_shape = jax.eval_shape(
+    lambda: model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 17), jnp.int32),
+        train=False,
+    )
+)
+tx = make_optimizer(
+    params_shape["params"], base_lr=1e-4, lr_multi=0.1, milestones=[35],
+    lr_decay=0.1, steps_per_epoch=10,
+)
+state = create_train_state(
+    model, tx,
+    jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 17), jnp.int32),
+    jax.random.PRNGKey(0),
+)
+# deterministic init -> identical on every host; promote the host-local
+# replicas to one global fully-replicated array per leaf
+state = jax.tree.map(
+    lambda x: multihost_utils.host_local_array_to_global_array(
+        np.asarray(x), mesh, P()
+    ),
+    state,
+)
+
+train_step = make_train_step(model, tx)
+# AOT-compile BEFORE touching any cross-process collective: XLA:CPU's gloo
+# rendezvous times out after 30 s, and on this 1-core host a cold compile
+# takes minutes — a process that compiles slower than its peer would miss
+# the rendezvous.  Compile first, then meet at a coordination-service
+# barrier (no gloo), then execute together.
+from jax._src import distributed  # noqa: E402
+
+step_rng = jax.random.PRNGKey(1)
+dense = {k: batch[k] for k in train_step._dense_keys if k in batch}
+train_step._jitted.lower(state, dense, step_rng).compile()
+distributed.global_state.client.wait_at_barrier("step_compiled", 1_200_000)
+
+state, metrics = train_step(state, batch, step_rng)
+loss = float(jax.device_get(metrics["loss"]))
+
+# concat_all_gather equivalent across processes
+gathered = gather_metrics(np.asarray([float(jax.process_index())]))
+
+print(json.dumps({
+    "process": pid,
+    "loss": loss,
+    "gathered": [float(g) for g in np.sort(gathered)],
+    "global_batch": int(batch["img"].shape[0]),
+}))
