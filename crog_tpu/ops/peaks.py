@@ -31,19 +31,27 @@ def peak_local_max_np(
 
     Semantics of modern scikit-image (>= 0.19, what the reference's unpinned
     install resolves to): candidates are window maxima of the
-    (2*min_distance+1)^2 maximum_filter (mode='constant', ties included),
-    strictly above threshold, borders excluded; sorted by intensity
-    descending (stable, so row-major among equals); then ensure_spacing
-    greedily drops any candidate within CHEBYSHEV distance <= min_distance
-    of an already-accepted peak (this only bites for equal-valued plateau
-    peaks — unequal neighbors are already removed by the max filter).
+    (2*min_distance+1)^2 maximum_filter (ties included; the filter's
+    boundary mode is irrelevant because the window only exits the image for
+    border pixels, which exclude_border removes), strictly above threshold,
+    borders excluded, NO peaks at all if every pixel is a window maximum
+    (skimage's trivial-image rule); sorted by intensity descending (stable,
+    so row-major among equals); then ensure_spacing greedily drops any
+    candidate at CHEBYSHEV distance STRICTLY LESS than min_distance from an
+    already-accepted peak — skimage's _ensure_spacing keeps "the points at
+    exactly spacing" (skimage/_shared/coord.py, `d < spacing` rejection).
+    This only bites for equal-valued plateau peaks — unequal neighbors are
+    already removed by the max filter.
 
     Returns [K, 2] (row, col) coordinates sorted by intensity descending.
     """
     image = np.asarray(image, np.float64)
     size = 2 * min_distance + 1
     max_filt = ndimage.maximum_filter(image, size=size, mode="constant", cval=0.0)
-    mask = (image == max_filt) & (image > threshold_abs)
+    is_max = image == max_filt
+    if is_max.all():  # trivial image (constant): skimage returns no peaks
+        return np.zeros((0, 2), np.int64)
+    mask = is_max & (image > threshold_abs)
     # exclude borders
     if min_distance > 0:
         mask[:min_distance, :] = False
@@ -57,7 +65,8 @@ def peak_local_max_np(
     coords = coords[order]
     kept: list = []
     for rc in coords:
-        if all(np.max(np.abs(rc - k)) > min_distance for k in kept):
+        # strict <: peaks at exactly min_distance apart are both kept
+        if all(np.max(np.abs(rc - k)) >= min_distance for k in kept):
             kept.append(rc)
             if len(kept) >= num_peaks:
                 break
@@ -132,7 +141,10 @@ def detect_grasp_peaks(
     qf = qua.astype(jnp.float32)
     # constant(0) padding semantics of scipy maximum_filter: clamp below at 0
     pooled = _max_pool_same(jnp.maximum(qf, 0.0), k)
-    is_peak = (qf == pooled) & (qf > threshold_abs)
+    is_max = qf == pooled
+    # skimage trivial-image rule: a constant map has no peaks at all
+    nontrivial = ~is_max.reshape(b, -1).all(axis=1)
+    is_peak = is_max & (qf > threshold_abs) & nontrivial[:, None, None]
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     if valid_hw is None:
@@ -151,11 +163,12 @@ def detect_grasp_peaks(
 
     score = jnp.where(is_peak, qf, -jnp.inf).reshape(b, h * w)
     # over-fetch candidates, then ensure_spacing (skimage >= 0.19): greedily
-    # drop any candidate within Chebyshev distance <= min_distance of an
-    # already-accepted one.  Only equal-valued plateau peaks survive the max
-    # filter that close together, so a small candidate pool suffices.
-    # lax.top_k tie-breaks by lower index = row-major, matching the stable
-    # intensity sort of the host version.
+    # drop any candidate at Chebyshev distance STRICTLY below min_distance
+    # from an already-accepted one (skimage keeps points at exactly spacing —
+    # _ensure_spacing's `d < spacing` rejection).  Only equal-valued plateau
+    # peaks survive the max filter that close together, so a small candidate
+    # pool suffices.  lax.top_k tie-breaks by lower index = row-major,
+    # matching the stable intensity sort of the host version.
     k2 = min(max(4 * num_peaks, num_peaks + 4), h * w)
     top_vals, top_idx = jax.lax.top_k(score, k2)
     cand_valid = jnp.isfinite(top_vals)
@@ -166,7 +179,7 @@ def detect_grasp_peaks(
         cheb = jnp.maximum(
             jnp.abs(cr - cr[:, i : i + 1]), jnp.abs(cc - cc[:, i : i + 1])
         )
-        conflict = (kept & (cheb <= min_distance)).any(axis=1)
+        conflict = (kept & (cheb < min_distance)).any(axis=1)
         kept = kept.at[:, i].set(cand_valid[:, i] & ~conflict)
     order = jnp.argsort(~kept, axis=1, stable=True)  # kept first, score order
     sel = order[:, :num_peaks]

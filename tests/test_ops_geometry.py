@@ -156,30 +156,34 @@ def test_gaussian_blur_jax_matches_scipy():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_peak_ensure_spacing_drops_equal_plateau_peaks():
-    """skimage >= 0.19 applies ensure_spacing after the max filter: two
-    EQUAL peaks within Chebyshev distance <= min_distance both survive the
-    filter but only the first (row-major among equals) is kept."""
+def test_peak_ensure_spacing_strictness():
+    """skimage >= 0.19 applies ensure_spacing after the max filter with a
+    STRICT `d < spacing` rejection (skimage/_shared/coord.py: "keep current
+    point and the points at exactly spacing from it"): equal ties at
+    Chebyshev distance == min_distance are ALL kept; only closer ties are
+    suppressed.  Pinned by tests/data/skimage_goldens.npz."""
     img = np.zeros((32, 32))
     img[10, 10] = 0.9
-    img[10, 12] = 0.9  # tie, Chebyshev distance 2 -> suppressed
-    img[12, 12] = 0.9  # tie, Chebyshev distance 2 from both -> suppressed
+    img[10, 12] = 0.9  # tie, Chebyshev distance 2 == min_distance -> KEPT
+    img[12, 12] = 0.9  # tie, distance 2 from both -> KEPT
     img[20, 20] = 0.8
     peaks = peak_local_max_np(img, min_distance=2, threshold_abs=0.4, num_peaks=5)
-    assert peaks.tolist() == [[10, 10], [20, 20]]
-    # spacing strictly greater than min_distance survives
+    assert peaks.tolist() == [[10, 10], [10, 12], [12, 12], [20, 20]]
+    # ties STRICTLY closer than min_distance are suppressed (greedy,
+    # row-major first among equals)
     img2 = np.zeros((32, 32))
     img2[10, 10] = 0.9
-    img2[10, 13] = 0.9  # distance 3 > min_distance: kept
+    img2[10, 11] = 0.9  # distance 1 < min_distance: suppressed
+    img2[11, 11] = 0.9  # distance 1 from both: suppressed
     peaks2 = peak_local_max_np(img2, 2, 0.4, 5)
-    assert peaks2.tolist() == [[10, 10], [10, 13]]
+    assert peaks2.tolist() == [[10, 10]]
 
 
 def test_detect_grasp_peaks_device_ensure_spacing_and_refill():
     """Device version: suppressed ties free slots for lower peaks, matching
     the host semantics."""
     qua = np.zeros((1, 64, 64), np.float32)
-    coords = [(10, 10), (10, 12), (30, 30), (40, 50), (50, 20), (20, 44),
+    coords = [(10, 10), (10, 11), (30, 30), (40, 50), (50, 20), (20, 44),
               (44, 8)]
     vals = [0.9, 0.9, 0.8, 0.7, 0.65, 0.6, 0.55]
     for (r, c), v in zip(coords, vals):
@@ -196,8 +200,9 @@ def test_detect_grasp_peaks_device_ensure_spacing_and_refill():
     host = peak_local_max_np(qua[0], 2, 0.4, 5)
     got = [(int(rects[k, 1]), int(rects[k, 0])) for k in range(5) if valid[k]]
     assert got == [tuple(p) for p in host.tolist()]
-    # (10,12) suppressed -> 5 peaks still returned from the remaining pool
-    assert len(got) == 5 and (10, 12) not in got
+    # (10,11): equal tie at distance 1 < min_distance -> suppressed, and a
+    # lower peak refills the slot so 5 peaks are still returned
+    assert len(got) == 5 and (10, 11) not in got
 
 
 def test_detect_grasp_peaks_per_sample_valid_extent():
