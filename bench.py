@@ -499,9 +499,11 @@ def main_ssg():
     if os.environ.get("BENCH_SSG_EVAL", "1") == "1":
         out["ssg_eval_samples_s_per_chip"] = round(bench_ssg_eval(n_chips), 2)
         _stage("eval")
-    # default OFF: the raw-wire 544^2 train step currently CRASHES the
-    # remote TPU worker (under investigation); a wedged worker would take
-    # the whole bench down.  CPU-mesh tests cover the path meanwhile.
+    # the raw-wire unpack runs as its own device program (see
+    # make_ssg_train_step's docstring: the FUSED unpack+step binary
+    # hard-crashed the remote v5e worker at batch 8; split, both run clean).
+    # Default stays OFF until the sustained e2e loop is proven stable on
+    # the shared worker — a wedged worker would take the whole bench down.
     if os.environ.get("BENCH_SSG_E2E", "0") == "1":
         e2e, ctx = bench_ssg_e2e(n_chips, sharding)
         out["ssg_e2e_samples_s_per_chip"] = round(e2e, 2)

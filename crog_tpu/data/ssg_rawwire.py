@@ -254,14 +254,25 @@ def _warp_planes(x, wrow, wcol, precision=jax.lax.Precision.HIGHEST):
 
 
 def unpack_ssg_raw(
-    batch: Dict, img_size: int, with_depth: bool = True, targets: bool = True
+    batch: Dict, img_size: int, with_depth: bool = True, targets: bool = True,
+    instance_chunk: int = 4,
 ) -> Dict:
     """Jittable: SSG raw wire batch -> the dense collate_ssg layout the
     model + loss consume (img/boxes/labels/obj_valid/ins_masks/grasp_*).
 
     ``targets=False`` unpacks only the image planes (eval forward: the
     Jacquard check needs GT rects on host, not GT maps — skipping the
-    per-instance raster + resample entirely)."""
+    per-instance raster + resample entirely).
+
+    ``instance_chunk``: the per-instance raster + resample runs under
+    ``lax.map`` over chunks of this many instances.  Unchunked, the raster's
+    full-frame transients are [B*M, H0, W0] canvases (B=8, M=24 at 480x640:
+    ~0.7 GB per plane plus int32 PNPOLY temporaries) — enough to take the
+    544^2 train step past the worker's memory at practical batch sizes
+    (measured: B=8 crashes the remote v5e worker, B=2 survives).  Chunking
+    caps the live set at [B*chunk, H0, W0] while the warped [B, M, S, S]
+    outputs (what the loss consumes, same as the dense wire) are unchanged.
+    The raster is cheap VPU work; serializing it costs little."""
     img8 = batch["ssg_img_u8"]
     b, h0, w0 = img8.shape[:3]
     aug = batch["aug"].astype(jnp.float32)
@@ -296,23 +307,47 @@ def unpack_ssg_raw(
     if not targets:
         return out
 
-    # ---- per-instance masks: bit-unpack then linear resample (zero pad)
-    masks = unpack_mask_bits(batch["ins_mask_bits"], w0)  # [B, M, H0, W0]
-    out["ins_masks"] = _warp_planes(masks, wrow, wcol, hi)
+    # ---- per-instance masks + grasp maps, lax.map'ed over instance chunks
+    # (bit-unpack -> raster -> resample; see instance_chunk in the docstring)
+    bits = batch["ins_mask_bits"]
+    m = bits.shape[1]
+    corners = batch["ssg_rect_corners"].astype(jnp.int32)
+    vals = batch["ssg_rect_vals"].astype(jnp.float32)
+    c = max(1, min(instance_chunk, m))
+    n = -(-m // c)
+    if n * c != m:  # pad the instance axis to a whole number of chunks
+        pad = [(0, 0), (0, n * c - m)] + [(0, 0)] * (bits.ndim - 2)
+        bits = jnp.pad(bits, pad)
+        pad_i = [(0, 0), (0, n * c - m)]
+        corners = jnp.pad(corners, pad_i + [(0, 0)] * 3)
+        vals = jnp.pad(vals, pad_i + [(0, 0)] * 2)
 
-    # ---- per-instance grasp maps: raster (instance axis folded into batch)
-    m = masks.shape[1]
-    corners = batch["ssg_rect_corners"].astype(jnp.int32).reshape(
-        b * m, -1, 4, 2
-    )
-    vals = batch["ssg_rect_vals"].astype(jnp.float32).reshape(b * m, -1, 3)
-    pos, ang, wid = _rasterize(corners, vals, h0, w0)
-    pos = pos.reshape(b, m, h0, w0)
-    ang = ang.reshape(b, m, h0, w0)
-    wid = wid.reshape(b, m, h0, w0)
-    out["grasp_qua"] = _warp_planes(pos, wrow_b, wcol_b, hi)
-    out["grasp_wid"] = _warp_planes(wid, wrow_b, wcol_b, hi)
-    ang_w = _warp_planes(ang, wrow, wcol, hi)
+    def _chunk(args):
+        bits_c, corners_c, vals_c = args  # [B, c, ...]
+        masks = unpack_mask_bits(bits_c, w0)  # [B, c, H0, W0]
+        pos, ang_c, wid_c = _rasterize(
+            corners_c.reshape(b * c, -1, 4, 2), vals_c.reshape(b * c, -1, 3),
+            h0, w0,
+        )
+        return (
+            _warp_planes(masks, wrow, wcol, hi),
+            _warp_planes(pos.reshape(b, c, h0, w0), wrow_b, wcol_b, hi),
+            _warp_planes(wid_c.reshape(b, c, h0, w0), wrow_b, wcol_b, hi),
+            _warp_planes(ang_c.reshape(b, c, h0, w0), wrow, wcol, hi),
+        )
+
+    def _split(x):  # [B, n*c, ...] -> [n, B, c, ...] (lax.map leading axis)
+        return jnp.moveaxis(x.reshape((b, n, c) + x.shape[2:]), 1, 0)
+
+    chunks = jax.lax.map(_chunk, (_split(bits), _split(corners), _split(vals)))
+
+    def _join(x):  # [n, B, c, S, S] -> [B, m, S, S]
+        return jnp.moveaxis(x, 0, 1).reshape(b, n * c, *x.shape[3:])[:, :m]
+
+    masks_w, qua_w, wid_w, ang_w = (_join(x) for x in chunks)
+    out["ins_masks"] = masks_w
+    out["grasp_qua"] = qua_w
+    out["grasp_wid"] = wid_w
     # reference quirk: sin/cos of the DEGREE-UNIT canvas (module docstring)
     out["grasp_sin"] = jnp.sin(2.0 * ang_w)
     # cos(2*0) = 1 would fill PADDED instance slots too; the dense collate

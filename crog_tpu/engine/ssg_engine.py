@@ -49,14 +49,18 @@ def make_ssg_train_step(
     model, tx, anchors: np.ndarray, loss_cfg: Dict[str, Any],
     img_size: int = 544, with_depth: bool = True,
 ):
+    """The raw-wire unpack (device-side augment + per-instance raster,
+    data/ssg_rawwire.py) runs as its OWN jitted program, not fused into the
+    train step: the fused program compiles fine (3.7 GB temp, fits HBM) but
+    its EXECUTION hard-crashes the remote v5e worker at batch 8 — while the
+    identical unpack and the identical dense step each run clean back-to-back
+    at the same batch (bisected 2026-08-19; B=2 fused also works, so it is a
+    size-dependent runtime fault in the fused binary, not OOM).  The split
+    costs one extra dispatch and materializes the [B, M, S, S] targets in
+    HBM — which the dense wire did anyway."""
     anchors_j = jnp.asarray(anchors)
 
     def step(state: TrainState, batch, rng):
-        if "ssg_img_u8" in batch:  # raw wire: augment + raster in-jit
-            from crog_tpu.data.ssg_rawwire import unpack_ssg_raw
-
-            batch = unpack_ssg_raw(batch, img_size, with_depth)
-
         def loss_fn(params):
             output, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -77,15 +81,19 @@ def make_ssg_train_step(
 
     jitted = jax.jit(step, donate_argnums=(0,))
 
-    def wrapped(state, batch, rng):
-        from crog_tpu.data.ssg_rawwire import SSG_RAW_KEYS
+    from crog_tpu.data.ssg_rawwire import SSG_RAW_KEYS, unpack_ssg_raw
 
-        keys = (
-            SSG_RAW_KEYS + ("boxes", "labels", "obj_valid")
-            if "ssg_img_u8" in batch
-            else _DENSE_KEYS
-        )
-        dense = {k: batch[k] for k in keys if k in batch}
+    unpack = jax.jit(
+        lambda bt: unpack_ssg_raw(bt, img_size, with_depth),
+        donate_argnums=(0,),
+    )
+
+    def wrapped(state, batch, rng):
+        if "ssg_img_u8" in batch:
+            keys = SSG_RAW_KEYS + ("boxes", "labels", "obj_valid")
+            dense = unpack({k: batch[k] for k in keys if k in batch})
+        else:
+            dense = {k: batch[k] for k in _DENSE_KEYS if k in batch}
         return jitted(state, dense, rng)
 
     return wrapped
