@@ -387,7 +387,7 @@ def bench_ssg_e2e(n_chips, sharding, per_chip=None):
     from crog_tpu.models.ssg import SSG
     from crog_tpu.parallel.mesh import get_mesh, replicate
 
-    per_chip = per_chip or int(os.environ.get("BENCH_SSG_E2E_BATCH", "8"))
+    per_chip = per_chip or int(os.environ.get("BENCH_SSG_E2E_BATCH", "4"))
     b = per_chip * n_chips
     n_batches = int(os.environ.get("BENCH_SSG_E2E_BATCHES", "8"))
     ds = SyntheticOCIDGraspFrames(
@@ -501,14 +501,22 @@ def main_ssg():
         _stage("eval")
     # the raw-wire unpack runs as its own device program (see
     # make_ssg_train_step's docstring: the FUSED unpack+step binary
-    # hard-crashed the remote v5e worker at batch 8; split, both run clean).
-    # Default stays OFF until the sustained e2e loop is proven stable on
-    # the shared worker — a wedged worker would take the whole bench down.
-    if os.environ.get("BENCH_SSG_E2E", "0") == "1":
-        e2e, ctx = bench_ssg_e2e(n_chips, sharding)
-        out["ssg_e2e_samples_s_per_chip"] = round(e2e, 2)
-        out.update(ctx)
-        _stage("e2e")
+    # hard-crashed the remote v5e worker at batch 8; split, the 2026-08-19
+    # bisect ran both clean back-to-back at batch 8, but the sustained e2e
+    # loop STILL faulted the worker at batch 8 in the full-bench run
+    # (2026-08-20) — the fault is size-dependent and flaky, so the default
+    # batch stays at the measured-safe size and the whole section is fenced:
+    # a worker crash here must not take the SSG train/eval numbers down.
+    if os.environ.get("BENCH_SSG_E2E", "1") == "1":
+        try:
+            e2e, ctx = bench_ssg_e2e(n_chips, sharding)
+            out["ssg_e2e_samples_s_per_chip"] = round(e2e, 2)
+            out.update(ctx)
+            _stage("e2e")
+        except Exception as e:  # noqa: BLE001 — worker faults surface as
+            # JaxRuntimeError at the forcing device_get; record and move on
+            out["ssg_e2e_error"] = f"{type(e).__name__}: {e}"[:300]
+            _stage("e2e FAILED")
     print(json.dumps(out))
 
 
