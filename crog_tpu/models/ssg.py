@@ -248,13 +248,26 @@ class SSG(nn.Module):
         output = {
             "protos": protos.astype(jnp.float32),
             "cls_logits": class_pred,
-            "cls_pred": nn.softmax(class_pred, axis=-1),
             "box_pred": jnp.concatenate(boxes, axis=1).astype(jnp.float32),
-            "ins_coef_pred": jnp.concatenate(coefs, axis=1).astype(jnp.float32),
         }
+        # train mode keeps the coefficient stacks in the conv dtype: the loss
+        # gathers only masks_to_train positives per image and converts to f32
+        # POST-gather (gather commutes with the convert — bit-identical),
+        # which drops a [B, N, 4, 32] convert+write (~230 MB/step at batch
+        # 16, profiled 1.4 ms as a lone convert_element_type) plus its
+        # backward scatter at f32.  The softmax over all N anchors is an
+        # eval-only consumer (post-processing reads cls_pred; the loss uses
+        # cls_logits).
+        coef_cat = jnp.concatenate(coefs, axis=1)
+        output["ins_coef_pred"] = (
+            coef_cat if train else coef_cat.astype(jnp.float32)
+        )
+        if not train:
+            output["cls_pred"] = nn.softmax(class_pred, axis=-1)
         if self.with_grasp_masks:
-            output["grasp_coef_pred"] = jnp.concatenate(grasps, axis=1).astype(
-                jnp.float32
+            grasp_cat = jnp.concatenate(grasps, axis=1)
+            output["grasp_coef_pred"] = (
+                grasp_cat if train else grasp_cat.astype(jnp.float32)
             )
         if train:
             output["seg_pred"] = nn.Conv(

@@ -101,7 +101,10 @@ def lincomb_mask_loss(
             gt_masks[..., None].astype(jnp.float32), (ph, pw), False
         )[..., 0]
         ds = (ds > 0.5).astype(jnp.float32)  # [M, ph, pw]
-        sel_coef = coefs[idx]                  # [k, 32]
+        # post-gather convert: train-mode coef stacks arrive in the conv
+        # dtype (bf16); converting the k gathered rows is bit-identical to
+        # converting all N anchors first (models/ssg.py output dict note)
+        sel_coef = coefs[idx].astype(jnp.float32)  # [k, 32]
         sel_gt_i = a_i[idx]                    # [k] -> GT index
         sel_box = a_box[idx]                   # [k, 4]
         # k-major output layout so the GT gather ds[sel_gt_i] is consumed
@@ -163,7 +166,7 @@ def lincomb_grasp_masks_loss(
     outside = jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32)
 
     def per_image(coefs, protos_i, ds_i, a_i, a_box, idx, valid, old_n, n_p):
-        sel_coef = coefs[idx]  # [k, 4, 32]
+        sel_coef = coefs[idx].astype(jnp.float32)  # [k, 4, 32]
         sel_gt_i = a_i[idx]
         sel_box = a_box[idx]
         # [t, k, h, w] output layout: the GT gather ds_i[:, sel_gt_i] is then

@@ -53,16 +53,24 @@ def test_anchor_count_and_forward_shapes(ssg_setup):
         mutable=["batch_stats"],
     )[0]
     n = anchors.shape[0]
-    assert out["cls_pred"].shape == (2, n, 8)
+    # train mode: logits only (cls_pred softmax is eval-only), coef stacks
+    # stay in the conv dtype for the post-gather convert in the loss
+    assert "cls_pred" not in out
+    assert out["cls_logits"].shape == (2, n, 8)
     assert out["box_pred"].shape == (2, n, 4)
     assert out["ins_coef_pred"].shape == (2, n, 32)
     assert out["grasp_coef_pred"].shape == (2, n, 4, 32)
     p3 = int(np.ceil(IMG / 8))
     assert out["protos"].shape == (2, 2 * p3, 2 * p3, 32)
     assert out["seg_pred"].shape == (2, p3, p3, 8)
-    # softmax normalized
+
+    # eval mode carries the softmax, normalized, and f32 coef stacks
+    out_e = model.apply(variables, jnp.asarray(batch["img"]), train=False)
+    assert out_e["cls_pred"].shape == (2, n, 8)
+    assert out_e["ins_coef_pred"].dtype == jnp.float32
+    assert out_e["grasp_coef_pred"].dtype == jnp.float32
     np.testing.assert_allclose(
-        np.asarray(out["cls_pred"]).sum(-1), 1.0, atol=1e-5
+        np.asarray(out_e["cls_pred"]).sum(-1), 1.0, atol=1e-5
     )
 
 
