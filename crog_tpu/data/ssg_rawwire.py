@@ -15,11 +15,15 @@ resizes).  Here the host ships only:
   * ``ssg_img_u8``    [H0, W0, 3] uint8 — BGR camera frame (reference keeps
     BGR until the final normalize, utils/dataset.py:1120 / augmentation
     _normalize_img)
-  * ``ssg_depth``     [H0, W0] float32 — inverted-normalized depth
-    (1 - d/d.max(), reference utils/dataset.py:1120-1122; one divide per
-    plane, cheap on host and kept exact)
+  * ``ssg_depth_u16`` [H0, W0] uint16 — inverted-normalized depth
+    (1 - d/d.max(), reference utils/dataset.py:1120-1122: values in [0,1]
+    by construction, so u16 quantization costs <= 7.6e-6 and halves the
+    dominant wire plane vs f32; the unpack also accepts a legacy f32
+    ``ssg_depth``)
   * ``ins_mask_bits`` [M, H0, ceil(W0/8)] uint8 — per-instance 0/1 masks
-    bit-packed (np.packbits, MSB-first)
+    bit-packed (np.packbits, MSB-first); M is the BATCH-OCCUPANCY slot
+    count (collate_ssg_raw trims to the batch-max object count rounded up
+    to the unpack chunk), not the dataset-wide max_objs
   * ``ssg_rect_corners`` [M, R, 4, 2] int32 / ``ssg_rect_vals`` [M, R, 3]
     float32 — per-instance grasp raster params, exactly
     crog_tpu.data.rawwire.pack_raster_params per instance
@@ -80,8 +84,8 @@ from crog_tpu.data.rawwire import (
 from crog_tpu.ops.resize import interp_matrix
 
 SSG_RAW_KEYS = (
-    "ssg_img_u8", "ssg_depth", "ins_mask_bits", "ssg_rect_corners",
-    "ssg_rect_vals", "aug",
+    "ssg_img_u8", "ssg_depth", "ssg_depth_u16", "ins_mask_bits",
+    "ssg_rect_corners", "ssg_rect_vals", "aug",
 )
 AUG_FIELDS = ("b_delta", "c_factor", "h1", "h2", "mirror", "pad_y0", "pad_x0")
 
@@ -149,9 +153,18 @@ def pack_ssg_raw(
         labels[:m] = pre["labels"][:m]
         valid[:m] = True
 
+    # depth -> uint16: the reference's inverted-normalized depth is in [0,1]
+    # by construction (1 - d/d.max(), utils/dataset.py:1120-1122), so the
+    # quantization epsilon is <= 0.5/65535 ~ 7.6e-6 — invisible next to the
+    # model's bf16 compute — and the wire drops 0.61 MB/sample vs f32
+    # (VERDICT r04 next #2)
+    depth_u16 = np.round(
+        np.clip(pre["depth"], 0.0, 1.0) * 65535.0
+    ).astype(np.uint16)
+
     return {
         "ssg_img_u8": np.clip(rgb, 0, 255).astype(np.uint8),
-        "ssg_depth": pre["depth"].astype(np.float32),
+        "ssg_depth_u16": depth_u16,
         "ins_mask_bits": mask_bits,
         "ssg_rect_corners": corners,
         "ssg_rect_vals": vals,
@@ -255,7 +268,7 @@ def _warp_planes(x, wrow, wcol, precision=jax.lax.Precision.HIGHEST):
 
 def unpack_ssg_raw(
     batch: Dict, img_size: int, with_depth: bool = True, targets: bool = True,
-    instance_chunk: int = 4,
+    instance_chunk: int = 4, pad_objs: int = 0,
 ) -> Dict:
     """Jittable: SSG raw wire batch -> the dense collate_ssg layout the
     model + loss consume (img/boxes/labels/obj_valid/ins_masks/grasp_*).
@@ -263,6 +276,13 @@ def unpack_ssg_raw(
     ``targets=False`` unpacks only the image planes (eval forward: the
     Jacquard check needs GT rects on host, not GT maps — skipping the
     per-instance raster + resample entirely).
+
+    ``pad_objs``: collate_ssg_raw ships only the OCCUPIED instance slots
+    (batch-max objects rounded up to a chunk multiple — a 6-object scene no
+    longer pays 24 slots of mask bits + raster work); the consumer (loss)
+    wants ONE static instance count, so the unpacked targets and the
+    pass-through boxes/labels/obj_valid are zero-padded back to ``pad_objs``
+    here.  0 = keep the wire's instance count (tests).
 
     ``instance_chunk``: the per-instance raster + resample runs under
     ``lax.map`` over chunks of this many instances.  Unchunked, the raster's
@@ -299,11 +319,27 @@ def unpack_ssg_raw(
     img = img[..., ::-1] / 255.0
 
     out = {k: v for k, v in batch.items() if k not in SSG_RAW_KEYS}
-    if with_depth and "ssg_depth" in batch:
-        depth = _warp_planes(batch["ssg_depth"][:, None], wrow, wcol, hi)
+    if with_depth and ("ssg_depth" in batch or "ssg_depth_u16" in batch):
+        if "ssg_depth_u16" in batch:  # wire dtype (pack_ssg_raw); f32 legacy
+            d0 = batch["ssg_depth_u16"].astype(jnp.float32) / 65535.0
+        else:
+            d0 = batch["ssg_depth"]
+        depth = _warp_planes(d0[:, None], wrow, wcol, hi)
         out["img"] = jnp.concatenate([img, jnp.moveaxis(depth, 1, -1)], -1)
     else:
         out["img"] = img
+
+    def _pad_inst(x):  # zero-pad the instance axis [B, M, ...] -> pad_objs
+        if pad_objs and x.shape[1] < pad_objs:
+            return jnp.pad(
+                x, [(0, 0), (0, pad_objs - x.shape[1])]
+                + [(0, 0)] * (x.ndim - 2),
+            )
+        return x
+
+    for k in ("boxes", "labels", "obj_valid"):
+        if k in out:
+            out[k] = _pad_inst(jnp.asarray(out[k]))
     if not targets:
         return out
 
@@ -345,27 +381,46 @@ def unpack_ssg_raw(
         return jnp.moveaxis(x, 0, 1).reshape(b, n * c, *x.shape[3:])[:, :m]
 
     masks_w, qua_w, wid_w, ang_w = (_join(x) for x in chunks)
-    out["ins_masks"] = masks_w
-    out["grasp_qua"] = qua_w
-    out["grasp_wid"] = wid_w
+    out["ins_masks"] = _pad_inst(masks_w)
+    out["grasp_qua"] = _pad_inst(qua_w)
+    out["grasp_wid"] = _pad_inst(wid_w)
     # reference quirk: sin/cos of the DEGREE-UNIT canvas (module docstring)
-    out["grasp_sin"] = jnp.sin(2.0 * ang_w)
+    out["grasp_sin"] = _pad_inst(jnp.sin(2.0 * ang_w))
     # cos(2*0) = 1 would fill PADDED instance slots too; the dense collate
     # zeros them (collate_ssg), so gate by obj_valid (other planes are
     # naturally zero for empty slots)
     valid = batch["obj_valid"].astype(jnp.float32)[:, :, None, None]
-    out["grasp_cos"] = jnp.cos(2.0 * ang_w) * valid
+    out["grasp_cos"] = _pad_inst(jnp.cos(2.0 * ang_w) * valid)
     return out
 
 
-def collate_ssg_raw(samples: List[Dict]) -> Dict:
+def collate_ssg_raw(samples: List[Dict], slot_round: int = 4) -> Dict:
     """Stack raw-wire SSG samples (dense arrays stacked, ragged GT rect
-    lists kept as a list for the host-side Jacquard check)."""
+    lists kept as a list for the host-side Jacquard check).
+
+    Ships only the OCCUPIED instance slots: the instance axis is trimmed to
+    the batch-max object count rounded up to ``slot_round`` (= the unpack's
+    instance_chunk, so chunking divides evenly and the jitted unpack sees at
+    most max_objs/slot_round distinct shapes).  A typical 6-object OCID
+    scene stops paying 24 slots of mask-bit wire bytes and device raster
+    work; unpack_ssg_raw(pad_objs=max_objs) pads the dense targets back so
+    the train step keeps one static shape (VERDICT r04 next #2)."""
     out: Dict = {}
     for k in (
-        "ssg_img_u8", "ssg_depth", "ins_mask_bits", "ssg_rect_corners",
-        "ssg_rect_vals", "aug", "boxes", "labels", "obj_valid", "ori_size",
+        "ssg_img_u8", "ssg_depth", "ssg_depth_u16", "ins_mask_bits",
+        "ssg_rect_corners", "ssg_rect_vals", "aug", "boxes", "labels",
+        "obj_valid", "ori_size",
     ):
-        out[k] = np.stack([s[k] for s in samples])
+        if k in samples[0]:
+            out[k] = np.stack([s[k] for s in samples])
+    m_wire = out["obj_valid"].shape[1]
+    occ = int(out["obj_valid"].sum(axis=1).max()) if m_wire else 0
+    mb = min(m_wire, max(slot_round, -(-occ // slot_round) * slot_round))
+    if mb < m_wire:
+        for k in (
+            "ins_mask_bits", "ssg_rect_corners", "ssg_rect_vals", "boxes",
+            "labels", "obj_valid",
+        ):
+            out[k] = np.ascontiguousarray(out[k][:, :mb])
     out["ins_grasp_rects"] = [s["ins_grasp_rects"] for s in samples]
     return out

@@ -47,7 +47,7 @@ def create_ssg_train_state(model, tx, example_img, rng) -> TrainState:
 
 def make_ssg_train_step(
     model, tx, anchors: np.ndarray, loss_cfg: Dict[str, Any],
-    img_size: int = 544, with_depth: bool = True,
+    img_size: int = 544, with_depth: bool = True, max_objs: int = 24,
 ):
     """The raw-wire unpack (device-side augment + per-instance raster,
     data/ssg_rawwire.py) runs as its OWN jitted program, not fused into the
@@ -83,8 +83,13 @@ def make_ssg_train_step(
 
     from crog_tpu.data.ssg_rawwire import SSG_RAW_KEYS, unpack_ssg_raw
 
+    # pad_objs: the wire ships only occupied instance slots (collate_ssg_raw
+    # occupancy trim); the unpack pads targets back to max_objs so the dense
+    # step compiles ONCE (the unpack itself retraces per slot bucket — at
+    # most max_objs/instance_chunk variants)
     unpack = jax.jit(
-        lambda bt: unpack_ssg_raw(bt, img_size, with_depth),
+        lambda bt: unpack_ssg_raw(bt, img_size, with_depth,
+                                  pad_objs=max_objs),
         donate_argnums=(0,),
     )
 
@@ -137,10 +142,13 @@ def make_ssg_eval_fwd(model, img_size: int = 544, with_depth: bool = True):
     visualization call — building the jit inside those functions gave every
     validation epoch a fresh cache entry and a full re-trace.
 
-    Takes the (dense fields of a) batch dict: raw-wire batches are unpacked
-    in-jit (image planes only — the Jacquard check consumes host GT rects,
-    so the per-instance target raster is skipped at eval).  Returns
-    (output, img) so callers render/crop from the same image the model saw."""
+    Takes the (dense fields of a) batch dict and evaluates EVERY sample in it
+    (the reference eval is batch-1 by construction, utils/grasp_eval.py:99;
+    pair batch-N loaders with make_ssg_post_processing(batched=True)).
+    Raw-wire batches are unpacked in-jit (image planes only — the Jacquard
+    check consumes host GT rects, so the per-instance target raster is
+    skipped at eval).  Returns (output, img) so callers render/crop from the
+    same image the model saw."""
 
     def fwd(v, batch):
         if "ssg_img_u8" in batch:
@@ -154,14 +162,23 @@ def make_ssg_eval_fwd(model, img_size: int = 544, with_depth: bool = True):
 
     def wrapped(v, batch):
         keys = (
-            ("ssg_img_u8", "ssg_depth", "aug")
+            ("ssg_img_u8", "ssg_depth", "ssg_depth_u16", "aug")
             if "ssg_img_u8" in batch
             else ("img",)
         )
-        dense = {k: jnp.asarray(batch[k])[:1] for k in keys if k in batch}
+        dense = {k: jnp.asarray(batch[k]) for k in keys if k in batch}
         return jitted(v, dense)
 
     return wrapped
+
+
+def _batched_post(post):
+    """Normalize a post-processing result to batched layout [B, ...]: the
+    batch-1 mode of make_ssg_post_processing returns per-image arrays with no
+    batch axis (reference contract); the batched mode already carries [B]."""
+    if np.asarray(post["det_valid"]).ndim == 1:
+        return jax.tree.map(lambda x: jnp.asarray(x)[None], post)
+    return post
 
 
 def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
@@ -181,10 +198,10 @@ def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
         if i < idx:
             continue
         output, img_j = fwd(variables, batch)
-        post = post_fn(output)
-        rects = _np.asarray(post["grasp_rects"])
-        gvalid = _np.asarray(post["grasp_valid"])
-        dvalid = _np.asarray(post["det_valid"])
+        post = _batched_post(post_fn(output))
+        rects = _np.asarray(post["grasp_rects"])[0]
+        gvalid = _np.asarray(post["grasp_valid"])[0]
+        dvalid = _np.asarray(post["det_valid"])[0]
         all_rects = [
             rects[k, j]
             for k in range(rects.shape[0])
@@ -192,9 +209,9 @@ def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
             for j in range(rects.shape[1])
             if gvalid[k, j]
         ]
-        qua, ang, wid = post["grasp_masks"]
+        qua, ang, wid = (m[0] for m in post["grasp_masks"])
         img = _np.asarray(img_j[0, :, :, :3])
-        mask = _np.asarray(post["ins_masks"]).any(axis=0)
+        mask = _np.asarray(post["ins_masks"])[0].any(axis=0)
         return visualize_grasp_prediction(
             (img * 255).astype(_np.uint8),
             mask.astype(float),
@@ -211,31 +228,36 @@ def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
 
 
 def validate(loader, post_fn, fwd, variables, epoch, args, max_batches=101):
-    """Per-object J@1/J@5 over ~100 batch-1 samples (reference
-    engine/ssg_engine.py:119-180).  ``fwd`` from make_ssg_eval_fwd."""
+    """Per-object J@1/J@5 over ~100 val batches (reference
+    engine/ssg_engine.py:119-180 — batch-1 there; here the loader batch may
+    be >1 when post_fn was built with batched=True).  ``fwd`` from
+    make_ssg_eval_fwd."""
     logger = get_logger()
     hits = [0, 0]
     totals = [0, 0]
     for i, batch in enumerate(loader):
         output, _ = fwd(variables, batch)
-        post = post_fn(output)
-        rects = np.asarray(post["grasp_rects"])  # [K, 5, 5]
-        gvalid = np.asarray(post["grasp_valid"])
-        dvalid = np.asarray(post["det_valid"])
-        pred_instances = [
-            [rects[k, j].tolist() for j in range(rects.shape[1]) if gvalid[k, j]]
-            for k in range(rects.shape[0])
-            if dvalid[k]
-        ]
-        for gt_rects in batch["ins_grasp_rects"][0]:
-            for gi, topk in enumerate((1, 5)):
-                hit = any(
-                    jacquard_index([p[:5] for p in preds[:topk]], gt_rects)
-                    for preds in pred_instances
-                    if preds
-                )
-                hits[gi] += int(hit)
-                totals[gi] += 1
+        post = _batched_post(post_fn(output))
+        rects_b = np.asarray(post["grasp_rects"])  # [B, K, 5, 5]
+        gvalid_b = np.asarray(post["grasp_valid"])
+        dvalid_b = np.asarray(post["det_valid"])
+        for bi in range(rects_b.shape[0]):
+            rects, gvalid, dvalid = rects_b[bi], gvalid_b[bi], dvalid_b[bi]
+            pred_instances = [
+                [rects[k, j].tolist() for j in range(rects.shape[1])
+                 if gvalid[k, j]]
+                for k in range(rects.shape[0])
+                if dvalid[k]
+            ]
+            for gt_rects in batch["ins_grasp_rects"][bi]:
+                for gi, topk in enumerate((1, 5)):
+                    hit = any(
+                        jacquard_index([p[:5] for p in preds[:topk]], gt_rects)
+                        for preds in pred_instances
+                        if preds
+                    )
+                    hits[gi] += int(hit)
+                    totals[gi] += 1
         if i >= max_batches - 1:
             break
     j1 = hits[0] / max(totals[0], 1)

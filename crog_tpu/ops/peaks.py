@@ -132,9 +132,10 @@ def detect_grasp_peaks(
     at each sample's own edges, and the zero padding matches scipy's
     constant-0 filter boundary.
 
-    The max-pool lowers to an XLA reduce-window on the VPU; top_k is tiny
-    (H*W -> K).  One call handles the full eval batch — this replaces the
-    reference's per-sample CPU loop.
+    The max-pool lowers to an XLA reduce-window on the VPU; peak selection
+    is num_peaks argmax+suppression passes (NOT a top_k: XLA lowers top_k
+    to a full sort on TPU — see the in-body comment).  One call handles the
+    full eval batch — this replaces the reference's per-sample CPU loop.
     """
     b, h, w = qua.shape
     k = 2 * min_distance + 1
@@ -161,31 +162,38 @@ def detect_grasp_peaks(
     )
     is_peak = is_peak & border
 
-    score = jnp.where(is_peak, qf, -jnp.inf).reshape(b, h * w)
-    # over-fetch candidates, then ensure_spacing (skimage >= 0.19): greedily
-    # drop any candidate at Chebyshev distance STRICTLY below min_distance
+    score = jnp.where(is_peak, qf, -jnp.inf)
+    # ensure_spacing (skimage >= 0.19) — greedily walk candidates in score
+    # order and drop any at Chebyshev distance STRICTLY below min_distance
     # from an already-accepted one (skimage keeps points at exactly spacing —
-    # _ensure_spacing's `d < spacing` rejection).  Only equal-valued plateau
-    # peaks survive the max filter that close together, so a small candidate
-    # pool suffices.  lax.top_k tie-breaks by lower index = row-major,
-    # matching the stable intensity sort of the host version.
-    k2 = min(max(4 * num_peaks, num_peaks + 4), h * w)
-    top_vals, top_idx = jax.lax.top_k(score, k2)
-    cand_valid = jnp.isfinite(top_vals)
-    cr = top_idx // w
-    cc = top_idx % w
-    kept = jnp.zeros((b, k2), bool)
-    for i in range(k2):
-        cheb = jnp.maximum(
-            jnp.abs(cr - cr[:, i : i + 1]), jnp.abs(cc - cc[:, i : i + 1])
-        )
-        conflict = (kept & (cheb < min_distance)).any(axis=1)
-        kept = kept.at[:, i].set(cand_valid[:, i] & ~conflict)
-    order = jnp.argsort(~kept, axis=1, stable=True)  # kept first, score order
-    sel = order[:, :num_peaks]
-    pr = jnp.take_along_axis(cr, sel, axis=1)
-    pc = jnp.take_along_axis(cc, sel, axis=1)
-    valid = jnp.take_along_axis(kept, sel, axis=1)
+    # _ensure_spacing's `d < spacing` rejection) — implemented as num_peaks
+    # rounds of global argmax + suppression of the open Chebyshev ball
+    # (|dr| < d AND |dc| < d box) around the accepted peak.  Equivalent to
+    # the greedy walk: a candidate conflicts with an accepted peak iff it
+    # lies inside that peak's suppression box, so the next global argmax IS
+    # the next surviving candidate.  jnp.argmax tie-breaks at the lowest
+    # flat index = row-major among equals, matching the host version's
+    # stable intensity sort.  This replaced a lax.top_k over the full
+    # [B, H*W] map: XLA lowers top_k to a full variadic sort on TPU — 65 ms
+    # for an 8x16-mask eval batch at 480x640, 66% of the whole post program
+    # (profiled 2026-08-20); num_peaks max/argmax passes are ~2 ms.
+    prs, pcs, vals = [], [], []
+    for _ in range(num_peaks):
+        flat = score.reshape(b, h * w)
+        idx = jnp.argmax(flat, axis=1)
+        v = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        pr_i = (idx // w).astype(jnp.int32)
+        pc_i = (idx % w).astype(jnp.int32)
+        prs.append(pr_i)
+        pcs.append(pc_i)
+        vals.append(jnp.isfinite(v))
+        suppress = (
+            jnp.abs(rows[None] - pr_i[:, None, None]) < min_distance
+        ) & (jnp.abs(cols[None] - pc_i[:, None, None]) < min_distance)
+        score = jnp.where(suppress, -jnp.inf, score)
+    pr = jnp.stack(prs, axis=1)  # [B, num_peaks], score-descending
+    pc = jnp.stack(pcs, axis=1)
+    valid = jnp.stack(vals, axis=1)
 
     ang = jnp.arctan2(sin, cos) / 2.0
     batch_idx = jnp.arange(b)[:, None]

@@ -88,6 +88,42 @@ def capture_ssg(steps: int, batch: int, logdir: str):
     jax.profiler.stop_trace()
 
 
+def capture_ssg_eval(steps: int, batch: int, logdir: str):
+    """SSG batched eval trace: forward + vmapped post-processing
+    (models/ssg_eval), the round-5 batched eval path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from crog_tpu.engine.ssg_engine import make_ssg_eval_fwd
+    from crog_tpu.models.ssg import SSG
+    from crog_tpu.models.ssg_eval import make_ssg_post_processing
+
+    model = SSG(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 544, 544, 4)),
+        train=False,
+    )
+    fwd = make_ssg_eval_fwd(model)
+    img = jnp.asarray(
+        np.random.RandomState(0).rand(batch, 544, 544, 4), jnp.float32
+    )
+    max_det = int(os.environ.get("PROFILE_SSG_EVAL_DETS", "16"))
+    post = make_ssg_post_processing(
+        model.anchors(), ori_hw=(480, 640), batched=batch > 1,
+        max_detections=max_det if batch > 1 else 100,
+    )
+    out = post(fwd(variables, {"img": img})[0])
+    float(jax.device_get(out["grasp_rects"].sum()))
+    jax.profiler.start_trace(logdir)
+    for _ in range(steps):
+        out = post(fwd(variables, {"img": img})[0])
+    float(jax.device_get(out["grasp_rects"].sum()))
+    jax.profiler.stop_trace()
+
+
 def capture(steps: int, batch: int, logdir: str):
     import jax
     import jax.numpy as jnp
@@ -216,8 +252,12 @@ def aggregate(logdir: str, steps: int):
 
 if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    ssg = os.environ.get("PROFILE_MODEL", "crog") == "ssg"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if ssg else 24)
+    which = os.environ.get("PROFILE_MODEL", "crog")
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        16 if which == "ssg" else 8 if which == "ssg_eval" else 24
+    )
     logdir = os.environ.get("PROFILE_DIR", "/tmp/crog_profile")
-    (capture_ssg if ssg else capture)(steps, batch, logdir)
+    {"ssg": capture_ssg, "ssg_eval": capture_ssg_eval, "crog": capture}[
+        which
+    ](steps, batch, logdir)
     aggregate(logdir, steps)

@@ -124,8 +124,12 @@ def main():
         collate_fn=collate,
         device_put_fn=lambda batch: device_put_crog(batch, sharding),
     )
+    # reference eval is batch-1 by construction (utils/grasp_eval.py:99);
+    # batch_size_val > 1 pairs the batched eval forward with the vmapped
+    # post-processing (make_ssg_post_processing(batched=True))
+    bval = int(args.get("batch_size_val", 1))
     val_loader = DataLoader(
-        val_ds, batch_size=1, shuffle=False,
+        val_ds, batch_size=bval, shuffle=False,
         num_workers=args.get("workers_val", 2), collate_fn=collate,
     )
 
@@ -178,6 +182,7 @@ def main():
     train_step = make_ssg_train_step(
         model, tx, anchors, loss_cfg,
         img_size=args.img_size, with_depth=args.with_depth,
+        max_objs=int(args.get("max_objs", 24)),
     )
     post_fn = make_ssg_post_processing(
         anchors,
@@ -188,6 +193,7 @@ def main():
         max_detections=args.max_detections,
         ori_hw=(480, 640) if args.dataset != "synthetic"
         else (args.img_size, args.img_size),
+        batched=bval > 1,
     )
     eval_fwd = make_ssg_eval_fwd(model, args.img_size, args.with_depth)
     out_dir = os.path.join(args.output_folder, args.exp_name)
