@@ -16,4 +16,16 @@ checkpoints, and a host-side input pipeline with device prefetch.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("CROG_PLATFORM"):
+    # subprocess platform pin: this environment fixes jax_platforms=axon,cpu
+    # at the config level, so the JAX_PLATFORMS env var alone is IGNORED —
+    # only an in-process config update sticks (tests/conftest.py does it for
+    # pytest; CROG_PLATFORM does it for CLI subprocesses, e.g. the realdata
+    # drill's fixture smoke which must not compile on the tunneled TPU)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["CROG_PLATFORM"])
+
 from crog_tpu.config import CfgNode, load_cfg_from_cfg_file, merge_cfg_from_list  # noqa: F401

@@ -226,11 +226,22 @@ def aggregate(logdir: str, steps: int):
     total = sum(by_name.values())
     print(f"\ntrace: {path}")
     print(f"device time total: {total/1e3/steps:.2f} ms/step over {steps} steps")
-    print(f"\n{'us/step':>10}  {'%':>5}  {'MB/step':>8}  op")
+    # achieved GB/s = compiler-reported bytes_accessed / device time; compare
+    # against the v5e HBM peak (~819 GB/s) to call an op at-roofline — ops
+    # near peak are CLOSED (memory-bound, nothing left), ops far below it at
+    # high MB/step are fusion/layout suspects
+    print(f"\n{'us/step':>10}  {'%':>5}  {'MB/step':>8}  {'GB/s':>6}  op")
     items = sorted(by_name.items(), key=lambda kv: -kv[1])
     for name, dur in items[:40]:
         mb = bytes_by_name.get(name, 0.0) / 1e6 / steps
-        print(f"{dur/steps:10.0f}  {100*dur/total:5.1f}  {mb:8.1f}  {name[:110]}")
+        gbps = (
+            bytes_by_name.get(name, 0.0) / 1e9 / (dur / 1e6)
+            if dur else 0.0
+        )
+        print(
+            f"{dur/steps:10.0f}  {100*dur/total:5.1f}  {mb:8.1f}  "
+            f"{gbps:6.0f}  {name[:100]}"
+        )
     # category rollup
     cat_time = defaultdict(float)
     for name, dur in by_name.items():
