@@ -186,7 +186,10 @@ def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
     engine/ssg_engine.py:184-263): RGB with predicted grasps + grasp maps.
 
     ``fwd`` is the jitted eval forward from make_ssg_eval_fwd (hoisted to
-    the caller so repeated epochs hit one jit cache entry)."""
+    the caller so repeated epochs hit one jit cache entry).  ``post_fn``
+    must carry the full-res grasp maps (make_ssg_post_processing with
+    with_maps; the batch-1 default) — the forward output is sliced to ONE
+    sample here, whatever the loader batch."""
     import random as _random
 
     import numpy as _np
@@ -198,6 +201,7 @@ def visualization(loader, post_fn, fwd, variables, epoch, args, vis_dir="vis"):
         if i < idx:
             continue
         output, img_j = fwd(variables, batch)
+        output = jax.tree.map(lambda x: x[:1], output)
         post = _batched_post(post_fn(output))
         rects = _np.asarray(post["grasp_rects"])[0]
         gvalid = _np.asarray(post["grasp_valid"])[0]

@@ -14,11 +14,13 @@ default ``batched=False`` keeps the reference-exact batch-1 contract
 reference-parity tests; a batch-N vs batch-1 equivalence test pins the two
 modes to each other (tests/test_ssg.py).
 
-Memory note for batched mode: the assembled masks are
-[B, max_detections, ori_h, ori_w] f32 per plane x 5 planes, so callers pick
-``max_detections`` to fit (the bench uses 16 at batch 8 = ~590 MB transient;
-the reference's 100 cap is only needed when >16 detections clear the 0.3
-score keep — OCID scenes top out well below that).
+Memory/traffic note for batched mode: only ins_masks and qua are assembled
+at [B, max_detections, ori_h, ori_w] full resolution (sin/cos/wid are
+4-tap-sampled at the peak pixels from the cropped proto-res maps — exactly
+the bilinear-upsample values, see _sample_bilinear_at); callers pick
+``max_detections`` to fit (the bench uses 16 at batch 8; the reference's
+100 cap is only needed when >16 detections clear the 0.3 score keep — OCID
+scenes top out well below that).
 """
 
 from __future__ import annotations
@@ -32,10 +34,37 @@ import jax.numpy as jnp
 
 from crog_tpu.ops.boxes import box_iou, crop_masks, decode
 from crog_tpu.ops.filters import gaussian_blur_jax
-from crog_tpu.ops.peaks import detect_grasp_peaks
+from crog_tpu.ops.peaks import find_peaks, grasp_rects_from_values
 from crog_tpu.ops.resize import resize_bilinear
 
 NEG = -1e9
+
+
+def _sample_bilinear_at(m, pr, pc, out_size: int):
+    """Read the bilinear ``out_size``-upsample of [K, ph, pw] maps at pixel
+    (pr, pc) [K, P] WITHOUT materializing the upsampled plane: exact 4-tap
+    bilinear sample with the resize2d align_corners=False convention
+    (src = max((dst+0.5)*in/out - 0.5, 0), taps index-clamped — matches
+    interp_matrix's linear weights)."""
+    k, ph, pw = m.shape
+
+    def axis(p, in_size):
+        src = jnp.maximum(
+            (p.astype(jnp.float32) + 0.5) * (in_size / out_size) - 0.5, 0.0
+        )
+        i0 = jnp.floor(src)
+        t = src - i0
+        i0 = i0.astype(jnp.int32)
+        return (
+            jnp.clip(i0, 0, in_size - 1), jnp.clip(i0 + 1, 0, in_size - 1), t
+        )
+
+    y0, y1, ty = axis(pr, ph)
+    x0, x1, tx = axis(pc, pw)
+    ki = jnp.arange(k)[:, None]
+    top = m[ki, y0, x0] * (1 - tx) + m[ki, y0, x1] * tx
+    bot = m[ki, y1, x0] * (1 - tx) + m[ki, y1, x1] * tx
+    return top * (1 - ty) + bot * ty
 
 
 def fast_nms(
@@ -86,6 +115,7 @@ def _post_one(
     ori_h,
     ori_w,
     num_peaks,
+    with_maps,
 ) -> Dict[str, jnp.ndarray]:
     """Per-image post body (reference utils/grasp_eval.py:100-221); shared by
     the batch-1 and vmapped batched paths."""
@@ -102,28 +132,45 @@ def _post_one(
     )
     det["valid"] = det["valid"] & (det["scores"] > score_keep)
 
-    # mask assembly (reference :171-194)
-    def assemble(coef, sigmoid):
+    # mask assembly (reference :171-194): proto-res map per detection,
+    # cropped to its box, bilinear-upsampled to the original resolution
+    def proto_maps(coef, sigmoid):  # [K, ph, pw], cropped
         m = jnp.einsum("hwp,kp->hwk", protos, coef)
         if sigmoid:
             m = jax.nn.sigmoid(m)
         m = crop_masks(m, det["boxes"])
-        m = jnp.transpose(m, (2, 0, 1))  # [K, ph, pw]
+        return jnp.transpose(m, (2, 0, 1))
+
+    def to_full(m):  # [K, ph, pw] -> [K, ori_h, ori_w]
         m = resize_bilinear(
             m[..., None], (input_size, input_size), False
         )[..., 0]
         return m[:, :ori_h, :ori_w]
 
-    ins_masks = assemble(det["ins_coef"], True) > 0.5
-    qua = assemble(det["grasp_coef"][:, 0, :], True)
-    sin = assemble(det["grasp_coef"][:, 1, :], False)
-    cos = assemble(det["grasp_coef"][:, 2, :], False)
-    wid = assemble(det["grasp_coef"][:, 3, :], True)
-    qua = gaussian_blur_jax(qua, 2.0)
+    # Only the planes whose FULL-RES pixels are consumed get upsampled:
+    # ins_masks (an output) and qua (peak detection + blur).  sin/cos/wid
+    # are only ever READ AT THE PEAK PIXELS (reference utils/grasp_eval.py
+    # samples ang/width at detect_grasps peaks), and the upsample is exact
+    # bilinear — so the full-res value at a peak equals a 4-tap bilinear
+    # sample of the cropped proto-res map.  That kills 3 of 5
+    # [K, ori_h, ori_w] f32 assemblies, the dominant byte term of the
+    # batched post (measured 2026-08-20).
+    ins_masks = to_full(proto_maps(det["ins_coef"], True)) > 0.5
+    qua_p = proto_maps(det["grasp_coef"][:, 0, :], True)
+    sin_p = proto_maps(det["grasp_coef"][:, 1, :], False)
+    cos_p = proto_maps(det["grasp_coef"][:, 2, :], False)
+    wid_p = proto_maps(det["grasp_coef"][:, 3, :], True)
+    qua = gaussian_blur_jax(to_full(qua_p), 2.0)
 
-    rects5, valid5 = detect_grasp_peaks(qua, sin, cos, wid, num_peaks)
+    pr, pc, valid5 = find_peaks(qua, num_peaks)
+    sin_at = _sample_bilinear_at(sin_p, pr, pc, input_size)
+    cos_at = _sample_bilinear_at(cos_p, pr, pc, input_size)
+    wid_at = _sample_bilinear_at(wid_p, pr, pc, input_size)
+    rects5 = grasp_rects_from_values(
+        pr, pc, jnp.arctan2(sin_at, cos_at) / 2.0, wid_at
+    )
     scale = jnp.asarray([ori_w, ori_w, ori_w, ori_w], jnp.float32)
-    return {
+    out = {
         "cls": det["class_ids"],
         "scores": det["scores"],
         "det_valid": det["valid"],
@@ -131,8 +178,13 @@ def _post_one(
         "ins_masks": ins_masks,
         "grasp_rects": rects5,
         "grasp_valid": valid5,
-        "grasp_masks": (qua, jnp.arctan2(sin, cos) / 2.0, wid),
     }
+    if with_maps:
+        sin_f, cos_f = to_full(sin_p), to_full(cos_p)
+        out["grasp_masks"] = (
+            qua, jnp.arctan2(sin_f, cos_f) / 2.0, to_full(wid_p)
+        )
+    return out
 
 
 def _grasp_coef_of(output, ins_coef):
@@ -153,13 +205,20 @@ def make_ssg_post_processing(
     ori_hw=(480, 640),
     num_peaks: int = 5,
     batched: bool = False,
+    with_maps: bool | None = None,
 ):
     """Returns a jitted fn(output_dict) -> detection dict.
 
     ``batched=False`` (default): reference-exact batch-1 contract — takes a
     batch-1 forward output, returns arrays with a leading [max_detections]
     axis (utils/grasp_eval.py:99).  ``batched=True``: vmaps the identical
-    per-image body over the batch axis; every output gains a leading [B]."""
+    per-image body over the batch axis; every output gains a leading [B].
+
+    ``with_maps``: include the full-resolution (qua, ang, wid) grasp maps in
+    the result (visualization consumes them; the Jacquard path needs only
+    grasp_rects).  Default: on for batch-1, OFF for batched — the three
+    extra [K, ori_h, ori_w] upsamples are pure overhead in the throughput
+    path since sin/cos/wid are only ever read at the peak pixels."""
     anchors_j = jnp.asarray(anchors)
     ori_h, ori_w = ori_hw
     kw = dict(
@@ -172,6 +231,7 @@ def make_ssg_post_processing(
         ori_h=ori_h,
         ori_w=ori_w,
         num_peaks=num_peaks,
+        with_maps=(not batched) if with_maps is None else with_maps,
     )
 
     def post(output: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

@@ -107,24 +107,20 @@ def _max_pool_same(x, k: int):
     )
 
 
-def detect_grasp_peaks(
+def find_peaks(
     qua: jax.Array,
-    sin: jax.Array,
-    cos: jax.Array,
-    wid: jax.Array,
     num_peaks: int = 5,
     min_distance: int = 2,
     threshold_abs: float = 0.4,
-    max_width: float = 100.0,
     valid_hw=None,
 ):
-    """Batched device grasp detection.
+    """Batched peak_local_max: [B, H, W] quality maps -> (pr, pc, valid),
+    each [B, num_peaks], peaks in score-descending order.
 
-    Args: [B, H, W] quality / sin2t / cos2t / width maps.
-    Returns (rects, valid): rects [B, K, 5] of (x, y, width_px, 20, angle_deg)
-    and valid [B, K] bool.  Peak criterion matches peak_local_max: local max of
-    a (2d+1)^2 window (ties included, consistent with equality testing),
-    strictly above threshold, borders excluded; top-K by quality.
+    Peak criterion matches peak_local_max: local max of a (2d+1)^2 window
+    (ties included, consistent with equality testing), strictly above
+    threshold, borders excluded; then the skimage >= 0.19 ensure_spacing
+    greedy walk.
 
     ``valid_hw`` [B, 2] int gives each sample's true (h, w) when the maps are
     zero-padded to a common max size (per-sample original resolutions,
@@ -134,8 +130,7 @@ def detect_grasp_peaks(
 
     The max-pool lowers to an XLA reduce-window on the VPU; peak selection
     is num_peaks argmax+suppression passes (NOT a top_k: XLA lowers top_k
-    to a full sort on TPU — see the in-body comment).  One call handles the
-    full eval batch — this replaces the reference's per-sample CPU loop.
+    to a full sort on TPU — see the in-body comment).
     """
     b, h, w = qua.shape
     k = 2 * min_distance + 1
@@ -194,19 +189,53 @@ def detect_grasp_peaks(
     pr = jnp.stack(prs, axis=1)  # [B, num_peaks], score-descending
     pc = jnp.stack(pcs, axis=1)
     valid = jnp.stack(vals, axis=1)
+    return pr, pc, valid
 
-    ang = jnp.arctan2(sin, cos) / 2.0
-    batch_idx = jnp.arange(b)[:, None]
-    ang_at = ang[batch_idx, pr, pc]
-    wid_at = wid[batch_idx, pr, pc]
-    rects = jnp.stack(
+
+def grasp_rects_from_values(pr, pc, ang_at, wid_at, max_width: float = 100.0):
+    """Assemble [B, K, 5] grasp rects (x, y, width_px, 20, angle_deg) from
+    peak coordinates and the angle/width values AT those peaks (reference
+    detect_grasps, utils/grasp_eval.py:294-301: fixed height 20, width x
+    max_width, angle in degrees)."""
+    b, k = pr.shape
+    return jnp.stack(
         [
             pc.astype(jnp.float32),
             pr.astype(jnp.float32),
             wid_at.astype(jnp.float32) * max_width,
-            jnp.full((b, num_peaks), 20.0, jnp.float32),
+            jnp.full((b, k), 20.0, jnp.float32),
             ang_at.astype(jnp.float32) / jnp.pi * 180.0,
         ],
         axis=-1,
+    )
+
+
+def detect_grasp_peaks(
+    qua: jax.Array,
+    sin: jax.Array,
+    cos: jax.Array,
+    wid: jax.Array,
+    num_peaks: int = 5,
+    min_distance: int = 2,
+    threshold_abs: float = 0.4,
+    max_width: float = 100.0,
+    valid_hw=None,
+):
+    """Batched device grasp detection over full-resolution maps.
+
+    Args: [B, H, W] quality / sin2t / cos2t / width maps.
+    Returns (rects, valid): rects [B, K, 5] of (x, y, width_px, 20, angle_deg)
+    and valid [B, K] bool — find_peaks on the quality map, then angle/width
+    read at the peak pixels.  One call handles the full eval batch — this
+    replaces the reference's per-sample CPU loop.
+    """
+    b = qua.shape[0]
+    pr, pc, valid = find_peaks(
+        qua, num_peaks, min_distance, threshold_abs, valid_hw
+    )
+    ang = jnp.arctan2(sin, cos) / 2.0
+    batch_idx = jnp.arange(b)[:, None]
+    rects = grasp_rects_from_values(
+        pr, pc, ang[batch_idx, pr, pc], wid[batch_idx, pr, pc], max_width
     )
     return rects, valid

@@ -198,6 +198,26 @@ def test_post_processing_batch1_refuses_batchN(ssg_setup):
         post_1(out)
 
 
+def test_sample_bilinear_matches_full_upsample():
+    """The post's 4-tap peak sampling must equal reading the materialized
+    bilinear upsample at the same pixels (the equivalence that lets the
+    batched post skip 3 of 5 full-res plane assemblies)."""
+    from crog_tpu.models.ssg_eval import _sample_bilinear_at
+    from crog_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(0)
+    m = jnp.asarray(rng.randn(3, 17, 19).astype(np.float32))
+    s = 64
+    full = resize_bilinear(m[..., None], (s, s), False)[..., 0]
+    pr = jnp.asarray(rng.randint(0, s, (3, 5)))
+    pc = jnp.asarray(rng.randint(0, s, (3, 5)))
+    got = _sample_bilinear_at(m, pr, pc, s)
+    want = full[jnp.arange(3)[:, None], pr, pc]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_bf16_forward_and_losses(ssg_setup):
     """The train-mode bf16 coef stacks (gather-then-convert in the loss,
     ssg_loss.py) are exercised with an actual bf16 model — the main fixture

@@ -203,6 +203,7 @@ def main():
         out_dir, project="crog_tpu_ssg", name=args.exp_name, config=args
     )
     best_j1 = 0.0
+    post_vis = None
 
     for epoch in range(start_epoch, args.epochs):
         epoch_rng = jax.random.fold_in(rng, epoch)
@@ -229,9 +230,20 @@ def main():
             if args.get("visualize", False):
                 from crog_tpu.engine.ssg_engine import visualization
 
+                if post_vis is None:  # batch-1, with full-res grasp maps
+                    post_vis = make_ssg_post_processing(
+                        anchors,
+                        num_protos=args.num_protos,
+                        nms_score_thre=args.nms_score_thre,
+                        nms_iou_thre=args.nms_iou_thre,
+                        top_k=args.top_k,
+                        max_detections=args.max_detections,
+                        ori_hw=(480, 640) if args.dataset != "synthetic"
+                        else (args.img_size, args.img_size),
+                    )
                 visualization(
-                    val_loader, post_fn, eval_fwd, variables, epoch + 1, args,
-                    vis_dir=os.path.join(out_dir, "vis"),
+                    val_loader, post_vis, eval_fwd, variables, epoch + 1,
+                    args, vis_dir=os.path.join(out_dir, "vis"),
                 )
             ckpt.save_checkpoint(out_dir, state, epoch + 1, best_jindex=best_j1)
             if j1 > best_j1:
