@@ -132,16 +132,29 @@ def wire_diagnostics(dense, sharding, b, n_chips):
     import jax.numpy as jnp
 
     nbytes = sum(v.nbytes for v in dense.values())
+    reps = int(os.environ.get("BENCH_WIRE_REPS", "6"))
     force = jax.jit(
         lambda tree: sum(jnp.sum(v.astype(jnp.float32))
                          for v in jax.tree.leaves(tree))
     )
     resident = jax.device_put(dense, sharding)
-    float(jax.device_get(force(resident)))  # warm path + compile
-    # force cost on resident data (subtracted from put timings below)
-    t0 = time.perf_counter()
-    float(jax.device_get(force([resident] * 4)))
-    force_s = time.perf_counter() - t0
+    # Pre-compile + calibrate the force reduction for the EXACT pytree
+    # structures timed below (a list of `reps` trees, and a 2-list nest).
+    # A different structure is a different jit cache key; letting the
+    # timed region compile once put the compile in the measurement AND in
+    # the subtracted calibration, which overshot and clamped dt to 1e-6
+    # (the 8e7 "MB/s" readings in early r5 runs).
+    def _calibrated_force_cost(tree):
+        float(jax.device_get(force(tree)))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jax.device_get(force(tree)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    seq_force_s = _calibrated_force_cost([resident] * reps)
+    conc_force_s = _calibrated_force_cost([[resident] * reps] * 2)
 
     x = np.zeros((1,), np.float32)
     rtts = []
@@ -151,11 +164,10 @@ def wire_diagnostics(dense, sharding, b, n_chips):
         rtts.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtts) * 1e3)
 
-    reps = int(os.environ.get("BENCH_WIRE_REPS", "6"))
     t0 = time.perf_counter()
     puts = [jax.device_put(dense, sharding) for _ in range(reps)]
     float(jax.device_get(force(puts)))
-    dt = max(time.perf_counter() - t0 - force_s * reps / 4, 1e-6)
+    dt = max(time.perf_counter() - t0 - seq_force_s, 1e-3)
     seq_mbps = nbytes * reps / dt / 1e6
 
     out = [None, None]
@@ -170,7 +182,7 @@ def wire_diagnostics(dense, sharding, b, n_chips):
     for t in ts:
         t.join()
     float(jax.device_get(force(out)))
-    dt = max(time.perf_counter() - t0 - force_s * reps / 2, 1e-6)
+    dt = max(time.perf_counter() - t0 - conc_force_s, 1e-3)
     conc_mbps = nbytes * reps * 2 / dt / 1e6
 
     best = max(seq_mbps, conc_mbps)
@@ -181,6 +193,36 @@ def wire_diagnostics(dense, sharding, b, n_chips):
         "wire_conc2_MBps": round(conc_mbps, 1),
         "wire_bound_sps": round(best * 1e6 / (nbytes / b) / n_chips, 1),
     }
+
+
+def _make_wire_probe(dense, sharding):
+    """A cheap (2-put) calibrated bandwidth probe for interleaving with
+    e2e passes.  Returns a closure yielding MB/s per call."""
+    import jax
+    import jax.numpy as jnp
+
+    nbytes = sum(v.nbytes for v in dense.values())
+    force = jax.jit(
+        lambda tree: sum(jnp.sum(v.astype(jnp.float32))
+                         for v in jax.tree.leaves(tree))
+    )
+    resident = jax.device_put(dense, sharding)
+    float(jax.device_get(force([resident] * 2)))  # compile + warm
+    costs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jax.device_get(force([resident] * 2)))
+        costs.append(time.perf_counter() - t0)
+    force_s = float(np.median(costs))
+
+    def probe():
+        t0 = time.perf_counter()
+        puts = [jax.device_put(dense, sharding) for _ in range(2)]
+        float(jax.device_get(force(puts)))
+        dt = max(time.perf_counter() - t0 - force_s, 1e-3)
+        return nbytes * 2 / dt / 1e6
+
+    return probe
 
 
 def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
@@ -261,10 +303,20 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
         cold_times.append(bt)
     warm_loader = make_loader(warm_ds)
     state, _, _ = run_pass(warm_loader, state, 0)  # populate the cache
+    # Wire-bandwidth probe run ADJACENT to each warm pass: the tunnel's
+    # bandwidth swings 2-4x minute-to-minute on this shared box, so a
+    # single bound measured after the fact need not bracket passes measured
+    # minutes earlier (r04 warm 45.4 vs bound 38.5; r05 97 vs 80).  A
+    # 2-put probe right after each pass gives a contemporaneous bound.
+    sample = next(_host_only_batches(warm_ds, b, 1))
+    dense = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
+    probe = _make_wire_probe(dense, sharding)
+    probe_mbps = []
     for p in range(n_passes):
         state, r, bt = run_pass(warm_loader, state, p + 1)
         warms.append(r)
         warm_times.append(bt)
+        probe_mbps.append(probe())
     cold, warm = float(np.median(colds)), float(np.median(warms))
 
     # outlier forensics: a pass at <0.5x the median gets its per-batch step
@@ -279,9 +331,6 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
                 slow_detail[f"{name}_pass{i}_batch_s"] = [
                     round(t, 2) for t in times[i]
                 ]
-
-    sample = next(_host_only_batches(warm_ds, b, 1))
-    dense = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
 
     t0 = time.perf_counter()
     host_n = 0
@@ -299,6 +348,12 @@ def bench_e2e(train_step, state, key, per_chip_batch, n_chips, sharding):
         **wire_diagnostics(dense, sharding, b, n_chips),
         **slow_detail,
     }
+    per_sample_mb = ctx["batch_MB"] / b
+    ctx["wire_probe_MBps_per_warm_pass"] = [round(m, 1) for m in probe_mbps]
+    ctx["wire_bound_sps_range"] = [
+        round(min(probe_mbps) / per_sample_mb / n_chips, 1),
+        round(max(probe_mbps) / per_sample_mb / n_chips, 1),
+    ]
     return cold, warm, ctx
 
 
@@ -513,6 +568,14 @@ def bench_ssg_e2e(n_chips, sharding, per_chip=None):
         )
 
     n_passes = int(os.environ.get("BENCH_SSG_E2E_PASSES", "5"))
+    from crog_tpu.data.ssg_rawwire import collate_ssg_raw as _collate
+
+    wire_batch = _collate([ds[i] for i in range(b)])
+    dense = {
+        k: v for k, v in wire_batch.items() if isinstance(v, np.ndarray)
+    }
+    probe = _make_wire_probe(dense, sharding)
+    probe_mbps = []
     rates, pass_times = [], []
     for p in range(n_passes):
         loader = make_loader()
@@ -534,6 +597,7 @@ def bench_ssg_e2e(n_chips, sharding, per_chip=None):
         assert np.isfinite(loss), f"non-finite SSG e2e loss {loss}"
         rates.append(n / dt / n_chips)
         pass_times.append(batch_times)
+        probe_mbps.append(probe())
 
     # context: raw-wire host production rate vs the legacy host pipeline's
     # (the number the raw wire is beating — per-instance raster + blur +
@@ -549,12 +613,6 @@ def bench_ssg_e2e(n_chips, sharding, per_chip=None):
     for i in range(8):
         _ = ds_legacy[i]
     host_legacy = 8 / (time.perf_counter() - t0) / n_chips
-    from crog_tpu.data.ssg_rawwire import collate_ssg_raw as _collate
-
-    wire_batch = _collate([ds[i] for i in range(b)])
-    dense = {
-        k: v for k, v in wire_batch.items() if isinstance(v, np.ndarray)
-    }
     wire_mb = sum(v.nbytes for v in dense.values()) / 1e6 / b
     ctx = {
         "ssg_e2e_passes": [round(r, 1) for r in rates],
@@ -562,6 +620,11 @@ def bench_ssg_e2e(n_chips, sharding, per_chip=None):
         "ssg_host_raw_samples_s": round(host_raw, 2),
         "ssg_host_legacy_samples_s": round(host_legacy, 2),
         "ssg_wire_MB_per_sample": round(wire_mb, 2),
+        "ssg_wire_probe_MBps_per_pass": [round(m, 1) for m in probe_mbps],
+        "ssg_wire_bound_sps_range": [
+            round(min(probe_mbps) / wire_mb / n_chips, 1),
+            round(max(probe_mbps) / wire_mb / n_chips, 1),
+        ],
     }
     wd = wire_diagnostics(dense, sharding, b, n_chips)
     ctx.update({f"ssg_{k}": v for k, v in wd.items()})

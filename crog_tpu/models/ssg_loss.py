@@ -246,39 +246,49 @@ def ssg_losses(
     labels = batch["labels"]
     obj_valid = batch["obj_valid"]
 
-    offsets, conf_gt, anchor_max_gt, anchor_max_i = jax.vmap(
-        lambda bx, v, lb: match(
-            bx, v, lb, anchors, pos_iou_thre, neg_iou_thre
+    # named scopes: profile_step.py's region rollup attributes each loss
+    # term (forward AND its transpose/backward) separately, so the
+    # loss-block roofline can be stated per term instead of one 34.5 ms blob
+    with jax.named_scope("lmatch"):
+        offsets, conf_gt, anchor_max_gt, anchor_max_i = jax.vmap(
+            lambda bx, v, lb: match(
+                bx, v, lb, anchors, pos_iou_thre, neg_iou_thre
+            )
+        )(boxes, obj_valid, labels)
+        pos = conf_gt > 0
+
+        sel_idx, sel_valid, old_np, num_np = _select_positives(
+            pos, rng, masks_to_train
         )
-    )(boxes, obj_valid, labels)
-    pos = conf_gt > 0
 
-    sel_idx, sel_valid, old_np, num_np = _select_positives(
-        pos, rng, masks_to_train
-    )
-
-    loss = {
-        "loss_cls": alpha_conf
-        * category_loss(output["cls_logits"], conf_gt, pos),
-        "loss_box": alpha_bbox * box_loss(output["box_pred"], offsets, pos),
-        "loss_ins": alpha_ins
-        * lincomb_mask_loss(
+    with jax.named_scope("lcls"):
+        l_cls = alpha_conf * category_loss(output["cls_logits"], conf_gt, pos)
+    with jax.named_scope("lbox"):
+        l_box = alpha_bbox * box_loss(output["box_pred"], offsets, pos)
+    with jax.named_scope("lins"):
+        l_ins = alpha_ins * lincomb_mask_loss(
             output["ins_coef_pred"], output["protos"], batch["ins_masks"],
             pos, anchor_max_i, anchor_max_gt, sel_idx, sel_valid, old_np,
             num_np,
-        ),
-        "loss_sem": alpha_sem
-        * semantic_seg_loss(
+        )
+    with jax.named_scope("lsem"):
+        l_sem = alpha_sem * semantic_seg_loss(
             output["seg_pred"], batch["ins_masks"], labels, obj_valid
-        ),
+        )
+    loss = {
+        "loss_cls": l_cls,
+        "loss_box": l_box,
+        "loss_ins": l_ins,
+        "loss_sem": l_sem,
     }
     if with_grasp_masks:
-        g = lincomb_grasp_masks_loss(
-            output["grasp_coef_pred"], output["protos"],
-            {k: batch[f"grasp_{k}"] for k in ("qua", "sin", "cos", "wid")},
-            pos, anchor_max_i, anchor_max_gt, sel_idx, sel_valid, old_np,
-            num_np,
-        )
+        with jax.named_scope("lgrasp"):
+            g = lincomb_grasp_masks_loss(
+                output["grasp_coef_pred"], output["protos"],
+                {k: batch[f"grasp_{k}"] for k in ("qua", "sin", "cos", "wid")},
+                pos, anchor_max_i, anchor_max_gt, sel_idx, sel_valid, old_np,
+                num_np,
+            )
         for k in ("qua", "sin", "cos", "wid"):
             loss[f"loss_{k}"] = alpha_grasp * g[k]
     total = sum(loss.values())

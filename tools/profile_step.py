@@ -222,7 +222,16 @@ def aggregate(logdir: str, steps: int):
         if m:
             region_time[m.group(1)] += e.get("dur", 0.0)
         elif top:
-            region_time["<other-scope>"] += e.get("dur", 0.0)
+            # loss-term named scopes (ssg_loss.py) and the optimizer live
+            # outside the model module scope; match them anywhere in the
+            # metadata path (forward or its transpose)
+            m2 = re.search(
+                r"\b(lmatch|lcls|lbox|lins|lsem|lgrasp|apply_gradients"
+                r"|adamw?|scale_by)", top
+            )
+            region_time[
+                f"<loss:{m2.group(1)}>" if m2 else "<other-scope>"
+            ] += e.get("dur", 0.0)
     total = sum(by_name.values())
     print(f"\ntrace: {path}")
     print(f"device time total: {total/1e3/steps:.2f} ms/step over {steps} steps")
