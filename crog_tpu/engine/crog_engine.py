@@ -136,7 +136,10 @@ def make_train_step(model, tx, use_grasp_masks: bool = True):
         (loss, (preds, new_stats, loss_dict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        with jax.named_scope("opt_update"):
+            new_state = state.apply_gradients(
+                grads=grads, batch_stats=new_stats
+            )
         # target resized inside crog_losses; recompute small for metrics
         ds_mask = targets["mask"]
         if ds_mask.shape[1:3] != preds.shape[1:3]:

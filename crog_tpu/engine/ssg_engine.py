@@ -76,7 +76,10 @@ def make_ssg_train_step(
         (loss, (new_stats, loss_dict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        with jax.named_scope("opt_update"):
+            new_state = state.apply_gradients(
+                grads=grads, batch_stats=new_stats
+            )
         return new_state, {"loss": loss, **loss_dict}
 
     jitted = jax.jit(step, donate_argnums=(0,))

@@ -226,8 +226,8 @@ def aggregate(logdir: str, steps: int):
             # outside the model module scope; match them anywhere in the
             # metadata path (forward or its transpose)
             m2 = re.search(
-                r"\b(lmatch|lcls|lbox|lins|lsem|lgrasp|apply_gradients"
-                r"|adamw?|scale_by)", top
+                r"\b(lmatch|lcls|lbox|lins|lsem|lgrasp|opt_update"
+                r"|apply_gradients|adamw?|scale_by)", top
             )
             region_time[
                 f"<loss:{m2.group(1)}>" if m2 else "<other-scope>"
