@@ -268,7 +268,7 @@ def _warp_planes(x, wrow, wcol, precision=jax.lax.Precision.HIGHEST):
 
 def unpack_ssg_raw(
     batch: Dict, img_size: int, with_depth: bool = True, targets: bool = True,
-    instance_chunk: int = 4, pad_objs: int = 0,
+    instance_chunk: int = 4, pad_objs: int = 0, emit_ds: bool = False,
 ) -> Dict:
     """Jittable: SSG raw wire batch -> the dense collate_ssg layout the
     model + loss consume (img/boxes/labels/obj_valid/ins_masks/grasp_*).
@@ -391,6 +391,30 @@ def unpack_ssg_raw(
     # naturally zero for empty slots)
     valid = batch["obj_valid"].astype(jnp.float32)[:, :, None, None]
     out["grasp_cos"] = _pad_inst(jnp.cos(2.0 * ang_w) * valid)
+    if emit_ds:
+        # The loss only ever consumes these maps DOWNSAMPLED (proto res for
+        # lincomb/grasp, seg res for the semantic term; models/ssg_loss.py).
+        # Computing the same resize_bilinear here and shipping only the
+        # small planes cuts the unpack->step HBM intermediates ~16x
+        # ([B,M,544,544] f32 x5 = 1.13 GB at batch 8 -> ~80 MB) and drops
+        # the full-res reads from the loss program entirely.  Same op,
+        # same input, moved across the program boundary.
+        from crog_tpu.ops.resize import resize_bilinear
+
+        ph = img_size // 4   # ProtoNet: 2x p3 (models/ssg.py ProtoNet)
+        sh = img_size // 8   # semantic head: p3
+
+        def _ds(x, s):
+            return resize_bilinear(x[..., None], (s, s), False)[..., 0]
+
+        ins_full = out.pop("ins_masks")
+        out["ins_ds"] = (_ds(ins_full, ph) > 0.5).astype(jnp.float32)
+        out["sem_ds"] = (_ds(ins_full, sh) > 0.5).astype(jnp.float32)
+        out["grasp_ds"] = jnp.stack(
+            [_ds(out.pop(f"grasp_{k}"), ph)
+             for k in ("qua", "sin", "cos", "wid")],
+            axis=1,
+        )  # [B, 4, M, ph, ph] — the layout lincomb_grasp_masks_loss wants
     return out
 
 

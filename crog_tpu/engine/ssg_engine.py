@@ -92,7 +92,7 @@ def make_ssg_train_step(
     # most max_objs/instance_chunk variants)
     unpack = jax.jit(
         lambda bt: unpack_ssg_raw(bt, img_size, with_depth,
-                                  pad_objs=max_objs),
+                                  pad_objs=max_objs, emit_ds=True),
         donate_argnums=(0,),
     )
 

@@ -87,20 +87,30 @@ def _select_positives(pos, rng, k: int):
 
 def lincomb_mask_loss(
     ins_coef, protos, ins_masks_gt, pos, anchor_max_i, anchor_max_gt,
-    sel_idx, sel_valid, old_num_pos, num_pos,
+    sel_idx, sel_valid, old_num_pos, num_pos, ins_ds=None,
 ):
     """Prototype-combination instance mask loss (reference :394-451):
     sigmoid(protos @ coef) cropped to the matched GT box, BCE normalized by
-    box area."""
+    box area.
+
+    ``ins_ds`` [B, M, ph, pw]: GT masks already downsampled + binarized (the
+    raw-wire unpack emits them, unpack_ssg_raw(emit_ds=True) — same
+    resize_bilinear, moved into the unpack program); when given,
+    ``ins_masks_gt`` may be None."""
     b = ins_coef.shape[0]
     ph, pw = protos.shape[1:3]
+    pre_ds = ins_ds is not None
+    masks_in = ins_ds if pre_ds else ins_masks_gt
 
     def per_image(coefs, protos_i, gt_masks, a_i, a_box, idx, valid, old_n, n_p):
-        # gt masks downsampled to proto res, binarized (reference :403-406)
-        ds = resize_bilinear(
-            gt_masks[..., None].astype(jnp.float32), (ph, pw), False
-        )[..., 0]
-        ds = (ds > 0.5).astype(jnp.float32)  # [M, ph, pw]
+        if pre_ds:
+            ds = gt_masks  # [M, ph, pw], binarized upstream
+        else:
+            # gt masks downsampled to proto res, binarized (reference :403-406)
+            ds = resize_bilinear(
+                gt_masks[..., None].astype(jnp.float32), (ph, pw), False
+            )[..., 0]
+            ds = (ds > 0.5).astype(jnp.float32)  # [M, ph, pw]
         # post-gather convert: train-mode coef stacks arrive in the conv
         # dtype (bf16); converting the k gathered rows is bit-identical to
         # converting all N anchors first (models/ssg.py output dict note)
@@ -128,7 +138,7 @@ def lincomb_mask_loss(
         return jnp.sum(per_anchor) * scale
 
     losses = jax.vmap(per_image)(
-        ins_coef, protos, ins_masks_gt, anchor_max_i, anchor_max_gt,
+        ins_coef, protos, masks_in, anchor_max_i, anchor_max_gt,
         sel_idx, sel_valid, old_num_pos, num_pos,
     )
     total_pos = jnp.maximum(jnp.sum(pos), 1)
@@ -137,31 +147,38 @@ def lincomb_mask_loss(
 
 def lincomb_grasp_masks_loss(
     grasp_coef, protos, grasp_masks_gt, pos, anchor_max_i, anchor_max_gt,
-    sel_idx, sel_valid, old_num_pos, num_pos,
+    sel_idx, sel_valid, old_num_pos, num_pos, grasp_ds=None,
 ):
     """Grasp-map coefficient loss (reference :455-507): smooth-L1 on
     sigmoid(protos @ coef) vs downsampled GT grasp maps; the cos map uses
-    ones outside the box (cos(0)=1), others zero-crop."""
+    ones outside the box (cos(0)=1), others zero-crop.
+
+    ``grasp_ds`` [B, 4, M, ph, pw]: pre-downsampled qua/sin/cos/wid stacks
+    from unpack_ssg_raw(emit_ds=True); when given, ``grasp_masks_gt`` may
+    be None."""
     ph, pw = protos.shape[1:3]
     total_pos = jnp.maximum(jnp.sum(pos), 1)
     keys = ("qua", "sin", "cos", "wid")
-    # One einsum/crop/L1 pass over all 4 tasks, but FOUR separate GT
-    # downsamples: the full-res maps [B, M, S, S] (~227 MB each at batch
-    # 8 / 544 / M=24) must each be read once regardless, and reading them
-    # straight out of batch memory lets XLA fuse the read into the resize.
-    # Stacking them first ([B, 4, M, S, S]) materializes a ~900 MB copy and
-    # measured 9% SLOWER end-to-end (129 vs 141 samples/s/chip); only the
-    # small downsampled maps (14 MB each) are stacked.
-    ds = jnp.stack(
-        [
-            resize_bilinear(
-                grasp_masks_gt[k][..., None].astype(jnp.float32),
-                (ph, pw), False,
-            )[..., 0]
-            for k in keys
-        ],
-        axis=1,
-    )  # [B, 4, M, ph, pw]
+    if grasp_ds is not None:
+        ds = grasp_ds
+    else:
+        # One einsum/crop/L1 pass over all 4 tasks, but FOUR separate GT
+        # downsamples: the full-res maps [B, M, S, S] (~227 MB each at batch
+        # 8 / 544 / M=24) must each be read once regardless, and reading them
+        # straight out of batch memory lets XLA fuse the read into the resize.
+        # Stacking them first ([B, 4, M, S, S]) materializes a ~900 MB copy and
+        # measured 9% SLOWER end-to-end (129 vs 141 samples/s/chip); only the
+        # small downsampled maps (14 MB each) are stacked.
+        ds = jnp.stack(
+            [
+                resize_bilinear(
+                    grasp_masks_gt[k][..., None].astype(jnp.float32),
+                    (ph, pw), False,
+                )[..., 0]
+                for k in keys
+            ],
+            axis=1,
+        )  # [B, 4, M, ph, pw]
     # cos(2*0)=1 outside the crop box, others 0 (reference :484-489)
     outside = jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32)
 
@@ -197,15 +214,23 @@ def lincomb_grasp_masks_loss(
     return {k: per_task[i] for i, k in enumerate(keys)}
 
 
-def semantic_seg_loss(seg_pred, sem_masks_gt, labels, obj_valid):
+def semantic_seg_loss(seg_pred, sem_masks_gt, labels, obj_valid, sem_ds=None):
     """Per-class max-aggregated BCE (reference :510-529).  Instead of the
     reference's scatter loop over instances, instance masks are max-scattered
-    into a [B, C, h, w] one-hot stack."""
+    into a [B, C, h, w] one-hot stack.
+
+    ``sem_ds`` [B, M, h, w]: GT masks already downsampled + binarized at the
+    seg-head resolution (unpack_ssg_raw(emit_ds=True)); when given,
+    ``sem_masks_gt`` may be None."""
     b, h, w, c = seg_pred.shape
-    ds = resize_bilinear(
-        sem_masks_gt[..., None].astype(jnp.float32), (h, w), False
-    )[..., 0]
-    ds = (ds > 0.5).astype(jnp.float32)  # [B, M, h, w]
+    if sem_ds is not None:
+        assert sem_ds.shape[2:] == (h, w), (sem_ds.shape, seg_pred.shape)
+        ds = sem_ds
+    else:
+        ds = resize_bilinear(
+            sem_masks_gt[..., None].astype(jnp.float32), (h, w), False
+        )[..., 0]
+        ds = (ds > 0.5).astype(jnp.float32)  # [B, M, h, w]
 
     def build_gt(masks_i, labels_i, valid_i):
         # max over instances of each class
@@ -267,13 +292,15 @@ def ssg_losses(
         l_box = alpha_bbox * box_loss(output["box_pred"], offsets, pos)
     with jax.named_scope("lins"):
         l_ins = alpha_ins * lincomb_mask_loss(
-            output["ins_coef_pred"], output["protos"], batch["ins_masks"],
+            output["ins_coef_pred"], output["protos"],
+            batch.get("ins_masks"),
             pos, anchor_max_i, anchor_max_gt, sel_idx, sel_valid, old_np,
-            num_np,
+            num_np, ins_ds=batch.get("ins_ds"),
         )
     with jax.named_scope("lsem"):
         l_sem = alpha_sem * semantic_seg_loss(
-            output["seg_pred"], batch["ins_masks"], labels, obj_valid
+            output["seg_pred"], batch.get("ins_masks"), labels, obj_valid,
+            sem_ds=batch.get("sem_ds"),
         )
     loss = {
         "loss_cls": l_cls,
@@ -283,11 +310,15 @@ def ssg_losses(
     }
     if with_grasp_masks:
         with jax.named_scope("lgrasp"):
+            grasp_ds = batch.get("grasp_ds")
             g = lincomb_grasp_masks_loss(
                 output["grasp_coef_pred"], output["protos"],
-                {k: batch[f"grasp_{k}"] for k in ("qua", "sin", "cos", "wid")},
+                None if grasp_ds is not None else {
+                    k: batch[f"grasp_{k}"]
+                    for k in ("qua", "sin", "cos", "wid")
+                },
                 pos, anchor_max_i, anchor_max_gt, sel_idx, sel_valid, old_np,
-                num_np,
+                num_np, grasp_ds=grasp_ds,
             )
         for k in ("qua", "sin", "cos", "wid"):
             loss[f"loss_{k}"] = alpha_grasp * g[k]

@@ -168,3 +168,49 @@ def test_legacy_544_synthetic_unchanged():
     ds = SyntheticOCIDGrasp(num_samples=1, img_size=96, num_classes=8)
     b = collate_ssg([ds[0]], max_objs=4)
     assert b["img"].shape == (1, 96, 96, 4)
+
+
+def test_unpack_emit_ds_bitwise():
+    """unpack_ssg_raw(emit_ds=True) ships the GT maps pre-downsampled; the
+    planes must be bitwise what the loss would have computed from the
+    full-res maps (same resize_bilinear + binarize, moved across the
+    program boundary)."""
+    from crog_tpu.ops.resize import resize_bilinear
+
+    _, br = _pair("training_0", 0)
+    dense = {
+        k: jnp.asarray(v) for k, v in br.items()
+        if isinstance(v, np.ndarray)
+    }
+    full = jax.jit(lambda b: unpack_ssg_raw(b, S, pad_objs=M))(dense)
+    dense2 = {
+        k: jnp.asarray(v) for k, v in br.items()
+        if isinstance(v, np.ndarray)
+    }
+    ds = jax.jit(
+        lambda b: unpack_ssg_raw(b, S, pad_objs=M, emit_ds=True)
+    )(dense2)
+    for k in ("ins_masks", "grasp_qua", "grasp_sin", "grasp_cos",
+              "grasp_wid"):
+        assert k not in ds, k
+    ph, sh = S // 4, S // 8
+
+    def _ref_ds(x, s):
+        return resize_bilinear(x[..., None], (s, s), False)[..., 0]
+
+    ins = jnp.asarray(full["ins_masks"])
+    np.testing.assert_array_equal(
+        np.asarray(ds["ins_ds"]),
+        np.asarray((_ref_ds(ins, ph) > 0.5).astype(jnp.float32)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ds["sem_ds"]),
+        np.asarray((_ref_ds(ins, sh) > 0.5).astype(jnp.float32)),
+    )
+    ref_g = jnp.stack(
+        [_ref_ds(jnp.asarray(full[f"grasp_{k}"]), ph)
+         for k in ("qua", "sin", "cos", "wid")], axis=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ds["grasp_ds"]), np.asarray(ref_g), atol=1e-6
+    )
