@@ -214,3 +214,76 @@ def test_unpack_emit_ds_bitwise():
     np.testing.assert_allclose(
         np.asarray(ds["grasp_ds"]), np.asarray(ref_g), atol=1e-6
     )
+
+
+def test_ssg_raw_train_step_data_parallel():
+    """SSG raw-wire training sharded over the 8-device data axis (the
+    second model family's DP path, same layout train_ssg.py uses): the
+    sharded step must run, keep the batch split over 'data', and produce
+    the same loss as the single-shard run up to reduction-order noise."""
+    from crog_tpu.engine.optim import make_optimizer
+    from crog_tpu.engine.ssg_engine import (
+        create_ssg_train_state,
+        make_ssg_train_step,
+    )
+    from crog_tpu.models.ssg import SSG
+    from crog_tpu.parallel.mesh import data_sharding, get_mesh, replicate
+
+    IMG = 128
+    n = jax.device_count()
+    assert n == 8, "conftest pins an 8-device CPU mesh"
+    kw = dict(num_samples=n, frame_hw=(96, 128), img_size=IMG,
+              num_classes=8, split="training_0")
+    ds_r = SyntheticOCIDGraspFrames(**kw, raw=True, max_objs=M, max_rects=4)
+    random.seed(11)
+    br = collate_ssg_raw([ds_r[i] for i in range(n)])
+
+    model = SSG(
+        img_size=IMG, resnet_layers=(1, 1, 1, 1), num_classes=8,
+        dtype=jnp.float32,
+    )
+    params_shape = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, IMG, IMG, 4)), train=True,
+        )
+    )["params"]
+    tx = make_optimizer(
+        params_shape, base_lr=3e-4, lr_multi=1.0, milestones=[100],
+        lr_decay=0.95, steps_per_epoch=10, weight_decay=5e-4,
+        optimizer="adamw",
+    )
+    step = make_ssg_train_step(
+        model, tx, model.anchors(), {"masks_to_train": 16}, img_size=IMG,
+        max_objs=M,
+    )
+
+    def run(shard):
+        state = create_ssg_train_state(
+            model, tx, jnp.zeros((1, IMG, IMG, 4)), jax.random.PRNGKey(0)
+        )
+        batch = dict(br)
+        if shard:
+            mesh = get_mesh()
+            sharding = data_sharding(mesh)
+            state = state.replace(
+                params=replicate(state.params, mesh),
+                batch_stats=replicate(state.batch_stats, mesh),
+                opt_state=replicate(state.opt_state, mesh),
+            )
+            batch = {
+                k: jax.device_put(np.asarray(v), sharding)
+                for k, v in batch.items() if isinstance(v, np.ndarray)
+            }
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        if shard:
+            spec = batch["ssg_img_u8"].sharding.spec
+            assert spec and spec[0] == "data", spec
+        return new_state, float(jax.device_get(metrics["loss"]))
+
+    _, loss_1 = run(False)
+    _, loss_dp = run(True)
+    assert np.isfinite(loss_dp)
+    assert abs(loss_dp - loss_1) < 1e-3 * max(abs(loss_1), 1.0), (
+        loss_dp, loss_1,
+    )
