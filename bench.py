@@ -637,9 +637,47 @@ def bench_ssg_e2e(n_chips, sharding, per_chip=None):
     return med, ctx
 
 
+def _require_live_backend():
+    """Fail FAST with a diagnostic JSON line if the TPU backend never
+    initializes: the tunneled v5e worker has a documented wedge state
+    (docs/ssg_worker_fault.md) where jax.devices() hangs indefinitely in
+    fresh processes — better one JSON error line than a silent hang that
+    times out the whole bench harness."""
+    import threading
+
+    seconds = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+    ok = threading.Event()
+
+    def _init():
+        import jax
+        import jax.numpy as jnp
+
+        jax.devices()
+        # enumeration alone is not proof of life: one observed wedge phase
+        # enumerates devices in ~8s but hangs every compile/execute RPC —
+        # force one tiny program through
+        float(jax.device_get(jnp.ones((8, 8)).sum()))
+        ok.set()
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(seconds)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "crog_train_throughput_per_chip",
+            "value": 0.0, "unit": "samples/s/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend init did not complete in {seconds:.0f}s "
+                     "— the remote v5e worker is in its documented wedge "
+                     "state (docs/ssg_worker_fault.md); remote-side "
+                     "restart required",
+        }), flush=True)
+        os._exit(1)
+
+
 def main_ssg():
     """Standalone SSG bench (BENCH_MODEL=ssg): one JSON line with train,
     eval and e2e numbers."""
+    _require_live_backend()
     import jax
 
     from crog_tpu.parallel.mesh import data_sharding, get_mesh
@@ -689,6 +727,7 @@ def main_ssg():
 
 
 def main():
+    _require_live_backend()
     import jax
     import jax.numpy as jnp
 
