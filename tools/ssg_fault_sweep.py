@@ -93,9 +93,9 @@ def child(batch: int, slots: int, chunk: int, n_batches: int) -> None:
     orig_unpack = rw.unpack_ssg_raw
 
     def unpack_with_chunk(bt, img_size, with_depth=True, targets=True,
-                          instance_chunk=4, pad_objs=0):
+                          instance_chunk=4, **kw):
         return orig_unpack(bt, img_size, with_depth, targets,
-                           instance_chunk=chunk, pad_objs=pad_objs)
+                           instance_chunk=chunk, **kw)
 
     rw.unpack_ssg_raw = unpack_with_chunk
     step = make_ssg_train_step(
