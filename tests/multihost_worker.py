@@ -126,10 +126,14 @@ from jax._src import distributed  # noqa: E402
 
 step_rng = jax.random.PRNGKey(1)
 dense = {k: batch[k] for k in train_step._dense_keys if k in batch}
-train_step._jitted.lower(state, dense, step_rng).compile()
+compiled = train_step._jitted.lower(state, dense, step_rng).compile()
 distributed.global_state.client.wait_at_barrier("step_compiled", 1_200_000)
 
-state, metrics = train_step(state, batch, step_rng)
+# Execute the EXACT compiled object: re-invoking the jit wrapper can
+# silently recompile when the persistent-cache AOT entry is rejected
+# (cpu_aot_loader machine-feature mismatch) — observed to stagger the two
+# processes minutes apart post-barrier, blowing gloo's 30 s connect window.
+state, metrics = compiled(state, dense, step_rng)
 loss = float(jax.device_get(metrics["loss"]))
 
 # concat_all_gather equivalent across processes
