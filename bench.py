@@ -468,7 +468,9 @@ def bench_ssg_eval(n_chips, batch: int | None = None):
     from crog_tpu.models.ssg import SSG
     from crog_tpu.models.ssg_eval import make_ssg_post_processing
 
-    batch = batch or int(os.environ.get("BENCH_SSG_EVAL_BATCH", "8"))
+    # batch sweep on the real chip (2026-08-21): 8 -> 178/s, 16 -> 202/s,
+    # 24 -> 219/s; the eval forward has no fault history, so default to 24
+    batch = batch or int(os.environ.get("BENCH_SSG_EVAL_BATCH", "24"))
     # max_detections caps the [B, K, 480, 640] f32 x5 assembled-mask
     # transient (16 at batch 8 = ~590 MB); the reference's 100 cap only
     # matters when >16 detections clear the 0.3 score keep

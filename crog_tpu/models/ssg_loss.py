@@ -145,9 +145,26 @@ def lincomb_mask_loss(
     return jnp.sum(losses) / ph / pw / total_pos
 
 
+def _use_pallas_lincomb() -> bool:
+    """Default OFF: the fused lincomb kernel (ops/pallas_lincomb) is
+    parity-tested, 30-iteration soak-clean standalone at batch 8/16, and
+    3.3x faster than the XLA chain it replaces — but linked into the full
+    SSG train step it crashes the remote v5e worker (2/2 runs 2026-08-21,
+    'TPU worker process crashed'), the same fused-binary-only fault
+    documented in docs/ssg_worker_fault.md.  Opt in with
+    SSG_PALLAS_LOSS=1 on a platform where the soak passes."""
+    import os
+
+    return (
+        os.environ.get("SSG_PALLAS_LOSS", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def lincomb_grasp_masks_loss(
     grasp_coef, protos, grasp_masks_gt, pos, anchor_max_i, anchor_max_gt,
     sel_idx, sel_valid, old_num_pos, num_pos, grasp_ds=None,
+    force_pallas: bool | None = None, interpret: bool = False,
 ):
     """Grasp-map coefficient loss (reference :455-507): smooth-L1 on
     sigmoid(protos @ coef) vs downsampled GT grasp maps; the cos map uses
@@ -181,6 +198,42 @@ def lincomb_grasp_masks_loss(
         )  # [B, 4, M, ph, pw]
     # cos(2*0)=1 outside the crop box, others 0 (reference :484-489)
     outside = jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32)
+
+    use_pallas = (
+        _use_pallas_lincomb() if force_pallas is None else force_pallas
+    )
+    if use_pallas:
+        # Fused kernel path (ops/pallas_lincomb): identical math, MXU
+        # einsum + in-VMEM sigmoid/crop/smooth-L1 — never materializes the
+        # [B, 4, k, ph, pw] prediction stack (measured 17.98 ms -> the
+        # kernel's einsum-bound cost at batch 16/544^2; see module doc).
+        from crog_tpu.ops.pallas_lincomb import lincomb_task_sums
+
+        b, ph_, pw_ = ds.shape[0], ds.shape[3], ds.shape[4]
+        sel_coef = jnp.take_along_axis(
+            grasp_coef, sel_idx[:, :, None, None], axis=1
+        ).astype(jnp.float32)                     # [B, k, 4, C]
+        sel_gt = jnp.take_along_axis(anchor_max_i, sel_idx, axis=1)
+        sel_box = jnp.take_along_axis(
+            anchor_max_gt, sel_idx[:, :, None], axis=1
+        )                                          # [B, k, 4]
+        sums = lincomb_task_sums(
+            protos, sel_coef,
+            ds.reshape(b, 4 * ds.shape[2], ph_ * pw_),
+            sel_gt, sel_box, num_tasks=4, interpret=interpret,
+        )                                          # [B, k, 4]
+        area = (sel_box[..., 2] - sel_box[..., 0]) * (
+            sel_box[..., 3] - sel_box[..., 1]
+        )
+        l = sums / jnp.maximum(area, 1e-6)[..., None]
+        l = jnp.where(sel_valid[..., None], l, 0.0)
+        scale = jnp.where(
+            old_num_pos > num_pos,
+            old_num_pos / jnp.maximum(num_pos, 1), 1.0,
+        )
+        losses = jnp.sum(l, axis=1) * scale[:, None]   # [B, 4]
+        per_task = jnp.sum(losses, axis=0) / ph / pw / total_pos
+        return {k: per_task[i] for i, k in enumerate(keys)}
 
     def per_image(coefs, protos_i, ds_i, a_i, a_box, idx, valid, old_n, n_p):
         sel_coef = coefs[idx].astype(jnp.float32)  # [k, 4, 32]
