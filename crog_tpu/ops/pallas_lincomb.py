@@ -21,10 +21,15 @@ prototype gradients in the same pass (GT and boxes carry no gradient).
 Layouts (lane dim = the 128-multiple axis):
     coef_t   [B, C, KT_pad]   selected coefficients, col = j*T + t
     protos_t [B, C, HW_pad]   prototypes, pixel-linearized
-    gt_sel   [B, KT_pad, HW_pad]  GT maps pre-gathered per column
-    boxes4   [B, 4, KT_pad]   sanitized x1,x2,y1,y2 (ops/boxes.sanitize
+    ds_pad   [B, TM_pad, HW_pad]  ALL GT rows (t*M + m); the kernel
+                              selects per-anchor rows with an exact
+                              one-hot MXU contraction (_gt_tile) instead
+                              of a [B, KT_pad, HW_pad] pre-gather
+    idx8     [B, 8, KT_pad]   int32 GT row index per column (8-sublane
+                              broadcast — Mosaic rejects [1, 128] blocks)
+    boxes4   [B, 4, KT_pad]   sanitized x1,x2,y1,y2 (box_inside_mask
                               semantics, applied by the caller)
-    sums     [B, KT_pad]      per-(anchor, task) pixel sums
+    sums     [B, 8, KT_pad]   per-(anchor, task) pixel sums (sublane 0)
 
 The kernel is exact (f32 MXU accumulation); only the pixel-reduction
 order differs from the XLA path (tested to ~1e-5 relative).
