@@ -88,6 +88,7 @@ def _select_positives(pos, rng, k: int):
 def lincomb_mask_loss(
     ins_coef, protos, ins_masks_gt, pos, anchor_max_i, anchor_max_gt,
     sel_idx, sel_valid, old_num_pos, num_pos, ins_ds=None,
+    force_pallas: bool | None = None, interpret: bool = False,
 ):
     """Prototype-combination instance mask loss (reference :394-451):
     sigmoid(protos @ coef) cropped to the matched GT box, BCE normalized by
@@ -101,6 +102,48 @@ def lincomb_mask_loss(
     ph, pw = protos.shape[1:3]
     pre_ds = ins_ds is not None
     masks_in = ins_ds if pre_ds else ins_masks_gt
+    total_pos = jnp.maximum(jnp.sum(pos), 1)
+
+    use_pallas = (
+        _use_pallas_lincomb() if force_pallas is None else force_pallas
+    )
+    if use_pallas:
+        # Same fused kernel as the grasp loss with loss_kind='bce'
+        # (ops/pallas_lincomb) — identical math, no [B, k, ph, pw]
+        # prediction stack
+        from crog_tpu.ops.pallas_lincomb import lincomb_task_sums
+
+        if pre_ds:
+            ds_all = ins_ds
+        else:
+            ds_all = resize_bilinear(
+                masks_in[..., None].astype(jnp.float32), (ph, pw), False
+            )[..., 0]
+            ds_all = (ds_all > 0.5).astype(jnp.float32)  # [B, M, ph, pw]
+        sel_coef = jnp.take_along_axis(
+            ins_coef, sel_idx[:, :, None], axis=1
+        ).astype(jnp.float32)[:, :, None, :]            # [B, k, 1, C]
+        sel_gt = jnp.take_along_axis(anchor_max_i, sel_idx, axis=1)
+        sel_box = jnp.take_along_axis(
+            anchor_max_gt, sel_idx[:, :, None], axis=1
+        )
+        sums = lincomb_task_sums(
+            protos, sel_coef,
+            ds_all.reshape(b, ds_all.shape[1], ph * pw),
+            sel_gt, sel_box, num_tasks=1, interpret=interpret,
+            loss_kind="bce",
+        )[..., 0]                                        # [B, k]
+        area = (sel_box[..., 2] - sel_box[..., 0]) * (
+            sel_box[..., 3] - sel_box[..., 1]
+        )
+        per_anchor = sums / jnp.maximum(area, 1e-6)
+        per_anchor = jnp.where(sel_valid, per_anchor, 0.0)
+        scale = jnp.where(
+            old_num_pos > num_pos,
+            old_num_pos / jnp.maximum(num_pos, 1), 1.0,
+        )
+        losses = jnp.sum(per_anchor, axis=1) * scale
+        return jnp.sum(losses) / ph / pw / total_pos
 
     def per_image(coefs, protos_i, gt_masks, a_i, a_box, idx, valid, old_n, n_p):
         if pre_ds:
@@ -141,7 +184,6 @@ def lincomb_mask_loss(
         ins_coef, protos, masks_in, anchor_max_i, anchor_max_gt,
         sel_idx, sel_valid, old_num_pos, num_pos,
     )
-    total_pos = jnp.maximum(jnp.sum(pos), 1)
     return jnp.sum(losses) / ph / pw / total_pos
 
 

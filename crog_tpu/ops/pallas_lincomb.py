@@ -90,7 +90,7 @@ def _gt_tile(ds_ref, idx_ref, tm):
 
 
 def _fwd_kernel(coef_ref, protos_ref, ds_ref, idx_ref, box_ref, out_ref, *,
-                num_tasks, cos_idx, hw, kt, pw, hw_chunk, tm):
+                num_tasks, cos_idx, hw, kt, pw, hw_chunk, tm, loss_kind):
     ikt = pl.program_id(1)
     ihw = pl.program_id(2)
     coef = coef_ref[0]    # [C, 128]
@@ -108,8 +108,15 @@ def _fwd_kernel(coef_ref, protos_ref, ds_ref, idx_ref, box_ref, out_ref, *,
     else:
         outside = 0.0
     m = jnp.where(inside, s, outside)
-    d = jnp.abs(m - _gt_tile(ds_ref, idx_ref, tm))
-    l = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+    gt = _gt_tile(ds_ref, idx_ref, tm)
+    if loss_kind == "bce":
+        # lincomb_mask_loss semantics: clip(m,0,1) is an identity on
+        # {0} u (0,1); the log clips floor at 1e-7
+        l = -(gt * jnp.log(jnp.maximum(m, 1e-7))
+              + (1.0 - gt) * jnp.log(jnp.maximum(1.0 - m, 1e-7)))
+    else:
+        d = jnp.abs(m - gt)
+        l = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
     # [1, 8, 128]: Mosaic requires the last-two block dims be (8k, 128k)
     # or full — a [1, 128] row block is rejected, so the sums ride an
     # 8-sublane broadcast and the caller reads sublane 0
@@ -129,7 +136,7 @@ def _fwd_kernel(coef_ref, protos_ref, ds_ref, idx_ref, box_ref, out_ref, *,
 
 def _bwd_kernel(coef_ref, protos_ref, ds_ref, idx_ref, box_ref, g_ref,
                 dcoef_ref, dprotos_ref, *,
-                num_tasks, cos_idx, hw, kt, pw, hw_chunk, tm):
+                num_tasks, cos_idx, hw, kt, pw, hw_chunk, tm, loss_kind):
     ikt = pl.program_id(1)
     ihw = pl.program_id(2)
     coef = coef_ref[0]
@@ -150,7 +157,15 @@ def _bwd_kernel(coef_ref, protos_ref, ds_ref, idx_ref, box_ref, g_ref,
     # d(smooth_l1)/dm = clamp(m - gt, -1, 1); only inside-box pixels see a
     # non-constant m
     gt = _gt_tile(ds_ref, idx_ref, tm)
-    dm = g_ref[0, 0, :][:, None] * jnp.clip(m - gt, -1.0, 1.0)
+    if loss_kind == "bce":
+        # d(bce)/dm with the log-clip indicators (grad is 0 where the
+        # 1e-7 floor saturates, matching jnp.maximum's VJP)
+        dldm = -(gt / jnp.maximum(m, 1e-7) * (m > 1e-7)
+                 - (1.0 - gt) / jnp.maximum(1.0 - m, 1e-7)
+                 * ((1.0 - m) > 1e-7))
+    else:
+        dldm = jnp.clip(m - gt, -1.0, 1.0)
+    dm = g_ref[0, 0, :][:, None] * dldm
     dpred = jnp.where(inside & valid, dm, 0.0) * s * (1.0 - s)
     dcoef = jax.lax.dot_general(
         pt, dpred, (((1,), (1,)), ((), ())),
@@ -181,7 +196,8 @@ def _bwd_kernel(coef_ref, protos_ref, ds_ref, idx_ref, box_ref, g_ref,
 
 
 def make_lincomb_sums(num_tasks: int, ph: int, pw: int, kt: int, tm: int,
-                      cos_idx: int = 2, interpret: bool = False):
+                      cos_idx: int = 2, interpret: bool = False,
+                      loss_kind: str = "smooth_l1"):
     """Factory for the custom-VJP'd sums op at fixed static geometry.
 
     Returns f(coef_t, protos_t, ds_pad, idx8, boxes4) -> sums
@@ -193,7 +209,7 @@ def make_lincomb_sums(num_tasks: int, ph: int, pw: int, kt: int, tm: int,
     kt_pad = _round_up(kt, 128)
     n_kt = kt_pad // 128
     kw = dict(num_tasks=num_tasks, cos_idx=cos_idx, hw=hw, kt=kt, pw=pw,
-              hw_chunk=hw_chunk, tm=tm)
+              hw_chunk=hw_chunk, tm=tm, loss_kind=loss_kind)
 
     def _specs(c):
         return [
@@ -256,7 +272,8 @@ def make_lincomb_sums(num_tasks: int, ph: int, pw: int, kt: int, tm: int,
 
 def lincomb_task_sums(protos, sel_coef, ds_flat, sel_gt, sel_box,
                       num_tasks: int, cos_idx: int = 2,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      loss_kind: str = "smooth_l1"):
     """Batched per-anchor/task pixel sums of the lincomb grasp loss.
 
     protos   [B, ph, pw, C] f32
@@ -321,7 +338,8 @@ def lincomb_task_sums(protos, sel_coef, ds_flat, sel_gt, sel_box,
         ((0, 0), (0, 0), (0, kt_pad - kt)),
     )
 
-    op = make_lincomb_sums(num_tasks, ph, pw, kt, tm_pad, cos_idx, interpret)
+    op = make_lincomb_sums(num_tasks, ph, pw, kt, tm_pad, cos_idx, interpret,
+                           loss_kind)
     out = op(coef_t, protos_t,
              jax.lax.stop_gradient(ds_pad),
              jax.lax.stop_gradient(idx8),

@@ -77,3 +77,46 @@ def test_lincomb_kernel_production_geometry_shapes():
             np.asarray(out_pal[kk]), np.asarray(out_ref[kk]),
             rtol=1e-4, atol=1e-6, err_msg=kk,
         )
+
+
+def test_lincomb_kernel_bce_matches_mask_loss():
+    """lincomb_mask_loss (T=1, BCE) through the kernel vs the vmapped
+    einsum path: values and grads."""
+    from crog_tpu.models.ssg_loss import lincomb_mask_loss
+
+    rng = np.random.RandomState(4)
+    b, n, m, ph, pw, c, k = 2, 48, 4, 16, 16, 32, 8
+    protos = jnp.asarray(rng.randn(b, ph, pw, c).astype(np.float32) * 0.3)
+    coef = jnp.asarray(rng.randn(b, n, c).astype(np.float32) * 0.3)
+    masks = jnp.asarray((rng.rand(b, m, 64, 64) > 0.5).astype(np.float32))
+    a_i = jnp.asarray(rng.randint(0, m, (b, n)).astype(np.int32))
+    lo = rng.rand(b, n, 2) * 0.6
+    hi = lo + 0.2 + rng.rand(b, n, 2) * 0.2
+    a_box = jnp.asarray(
+        np.stack([lo[..., 0], lo[..., 1], hi[..., 0], hi[..., 1]], -1)
+        .astype(np.float32)
+    )
+    pos = jnp.asarray(rng.rand(b, n) > 0.6)
+    sel_idx, sel_valid, old_np, num_np = _select_positives(
+        pos, jax.random.PRNGKey(5), k
+    )
+
+    def run(force):
+        def f(coef, protos):
+            return lincomb_mask_loss(
+                coef, protos, masks, pos, a_i, a_box, sel_idx, sel_valid,
+                old_np, num_np, force_pallas=force, interpret=True,
+            )
+        return jax.value_and_grad(f, argnums=(0, 1))(coef, protos)
+
+    v_ref, (dc_ref, dp_ref) = run(False)
+    v_pal, (dc_pal, dp_pal) = run(True)
+    np.testing.assert_allclose(
+        float(v_pal), float(v_ref), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dc_pal), np.asarray(dc_ref), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp_pal), np.asarray(dp_ref), rtol=1e-4, atol=1e-6
+    )
